@@ -1,0 +1,154 @@
+"""Typed configuration for ARTalk-TPU.
+
+Mirrors the reference JSON schema (reference: assets/config.json, consumed raw
+at app/models.py:17-45 and app/modules/bitwise_vae.py:19-26) so reference
+config files load verbatim, while giving this framework typed, validated
+dataclasses and TPU-specific knobs the reference does not have.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """BITWISE_VAE motion tokenizer config (reference: assets/config.json VAE_CONFIG)."""
+
+    motion_dim: int = 106
+    code_dim: int = 32
+    depth: int = 8
+    num_heads: int = 8
+    hidden_dim: int = 512
+    patch_nums: Sequence[int] = (1, 5, 25, 50, 100)
+
+    @property
+    def window(self) -> int:
+        """Frames per AR window = finest scale (reference: app/models.py:78)."""
+        return int(self.patch_nums[-1])
+
+    @property
+    def total_tokens(self) -> int:
+        """Sum of all scales = AR slots per window (181 for the default schedule)."""
+        return int(sum(self.patch_nums))
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "VAEConfig":
+        return cls(
+            motion_dim=d.get("MOTION_DIM", 106),
+            code_dim=d.get("V_CODE_DIM", 32),
+            depth=d.get("T_DEPTH", 8),
+            num_heads=d.get("T_NUM_HEADS", 8),
+            hidden_dim=d.get("T_HIDDEN_DIM", 512),
+            patch_nums=tuple(d.get("V_PATCH_NUMS", (1, 5, 25, 50, 100))),
+        )
+
+    def to_json_dict(self) -> dict:
+        return {
+            "MOTION_DIM": self.motion_dim,
+            "V_CODE_DIM": self.code_dim,
+            "T_DEPTH": self.depth,
+            "T_NUM_HEADS": self.num_heads,
+            "T_HIDDEN_DIM": self.hidden_dim,
+            "V_PATCH_NUMS": list(self.patch_nums),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class ARConfig:
+    """Autoregressive generator config (reference: assets/config.json AR_CONFIG)."""
+
+    depth: int = 12
+    num_heads: int = 12
+    prev_ratio: int = 1
+    audio_encoder: str = "wav2vec"  # 'wav2vec' | 'mimi' (app/models.py:24-32)
+    embed_dim: int = 768            # fixed in the reference (app/models.py:19)
+    style_dim: int = 128            # StyleEncoder output dim (style_encoder.py:16)
+    mlp_ratio: float = 4.0
+
+    @property
+    def audio_feature_dim(self) -> int:
+        """Conditioning width per audio encoder (reference: app/models.py:27,30)."""
+        return {"wav2vec": 1024, "mimi": 512}[self.audio_encoder]
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "ARConfig":
+        return cls(
+            depth=d.get("T_DEPTH", 12),
+            num_heads=d.get("T_NUM_HEADS", 12),
+            prev_ratio=d.get("PREV_RATIO", 1),
+            audio_encoder=d.get("AUDIO_ENCODER", "wav2vec"),
+        )
+
+    def to_json_dict(self) -> dict:
+        return {
+            "T_DEPTH": self.depth,
+            "T_NUM_HEADS": self.num_heads,
+            "PREV_RATIO": self.prev_ratio,
+            "AUDIO_ENCODER": self.audio_encoder,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2VecConfig:
+    """wav2vec2-xls-r-300m architecture constants.
+
+    The reference builds HF ``Wav2Vec2Model`` from the facebook/wav2vec2-xls-r-300m
+    config (app/models.py:25-27); these are that model's architecture hyper-params,
+    pinned here so no network access is needed.
+    """
+
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer_norm"   # per-conv-layer LayerNorm
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = True
+    layer_norm_eps: float = 1e-5
+
+    def num_output_frames(self, num_samples: int) -> int:
+        """Output sequence length of the conv feature extractor."""
+        length = num_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            length = (length - k) // s + 1
+        return length
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Top-level model config bundling AR + VAE (+ audio) sub-configs."""
+
+    ar: ARConfig = dataclasses.field(default_factory=ARConfig)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    wav2vec: Wav2VecConfig = dataclasses.field(default_factory=Wav2VecConfig)
+    fps: float = 25.0
+    sample_rate: int = 16000
+
+    @property
+    def window_audio_samples(self) -> int:
+        """Audio samples per AR window (reference: app/models.py:80)."""
+        return int(self.vae.window / self.fps * self.sample_rate)
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "ModelConfig":
+        return cls(
+            ar=ARConfig.from_json_dict(d.get("AR_CONFIG", {})),
+            vae=VAEConfig.from_json_dict(d.get("VAE_CONFIG", {})),
+        )
+
+    def to_json_dict(self) -> dict:
+        return {"AR_CONFIG": self.ar.to_json_dict(), "VAE_CONFIG": self.vae.to_json_dict()}
+
+
+def load_config(path: str) -> ModelConfig:
+    """Load a reference-format config.json into a typed ModelConfig."""
+    with open(path) as f:
+        return ModelConfig.from_json_dict(json.load(f))

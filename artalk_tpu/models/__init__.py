@@ -1,0 +1,16 @@
+"""Model zoo: motion tokenizer (BITWISE_VAE), AR generator, audio frontends,
+style encoder, FLAME geometry, renderers."""
+
+from .bitwise_vae import BitwiseVAE
+from .style_encoder import StyleEncoder
+from .wav2vec import Wav2VecEncoder
+from .ar_model import BitwiseARModel
+from .flame import FlameModel
+
+__all__ = [
+    "BitwiseVAE",
+    "StyleEncoder",
+    "Wav2VecEncoder",
+    "BitwiseARModel",
+    "FlameModel",
+]

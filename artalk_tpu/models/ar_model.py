@@ -1,0 +1,296 @@
+"""BitwiseARModel: VAR-style multi-scale autoregressive motion generator.
+
+Audio-conditioned AdaLN transformer that generates binary BSQ motion codes
+scale-by-scale (1 -> 5 -> 25 -> 50 -> 100 tokens) over sliding 4-second
+windows, with the previous window's encoded summary as an attention prefix
+(reference: app/models.py:13-135, app/transformer.py:12-79).
+
+TPU-first redesign (same bits, fewer FLOPs, one compiled graph):
+
+- **Incremental KV-cached level decode.** The reference re-feeds all tokens of
+  levels <= current as queries at every level and recomputes full attention
+  (models.py:97-104). Because the VAR mask makes a token's hidden states
+  depend only on tokens of levels <= its own, earlier levels' K/V are
+  invariant across level iterations; we compute each level's tokens exactly
+  once and append their per-block K/V to a cache laid out as
+  [prev-prefix | level tokens]. The level-causal mask then becomes *implicit*
+  in the cache extent -- no attention bias materialized at all.
+- **Static shapes per window** (fixed 64 000-sample chunks, fixed scale
+  schedule) so the whole window step jits once; the sliding-window loop is a
+  ``lax.scan`` with donated carries (constant memory in clip length).
+- Blocks are parameter-stacked and scanned; resizes are constant matmuls.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.resample1d import resize_area, resize_linear
+from . import nn
+from .bitwise_vae import BitwiseVAE
+from .bsq import bits_to_values
+from .style_encoder import StyleEncoder
+from .wav2vec import Wav2VecEncoder
+
+
+class WindowState(NamedTuple):
+    """Sliding-window carry (donated across windows)."""
+
+    prev_bits: jnp.ndarray       # (B, sum(patch_nums), code_dim) int32
+    prev_attn_feat: jnp.ndarray  # (B, prev_ratio * (1 + sum(pn[1:]) + ...), embed)
+
+
+class BitwiseARModel:
+    def __init__(self, cfg: ModelConfig = ModelConfig()):
+        self.cfg = cfg
+        self.vae = BitwiseVAE(cfg.vae)
+        self.style_encoder = StyleEncoder(motion_dim=cfg.vae.motion_dim,
+                                          feature_dim=cfg.ar.style_dim)
+        if cfg.ar.audio_encoder != "wav2vec":
+            raise NotImplementedError(
+                f"audio encoder {cfg.ar.audio_encoder!r} not implemented (wav2vec only)")
+        self.audio_encoder = Wav2VecEncoder(cfg.wav2vec)
+        self.patch_nums = tuple(cfg.vae.patch_nums)
+        self.total_tokens = sum(self.patch_nums)       # 181
+        self.offsets = [sum(self.patch_nums[:i]) for i in range(len(self.patch_nums))]
+        self.embed_dim = cfg.ar.embed_dim
+        self.depth = cfg.ar.depth
+        self.num_heads = cfg.ar.num_heads
+        self.head_dim = self.embed_dim // self.num_heads
+        self.prev_ratio = cfg.ar.prev_ratio
+        self.prev_len = self.total_tokens * self.prev_ratio
+        self.cache_len = self.prev_len + self.total_tokens
+        self.window_samples = cfg.window_audio_samples  # 64000
+        self.audio_frames = self.audio_encoder.num_output_frames(self.window_samples)
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array) -> nn.Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 16)
+        d, cd = self.embed_dim, cfg.ar.audio_feature_dim
+        hidden = round(d * cfg.ar.mlp_ratio)
+        pe_std = math.sqrt(1 / d / 3)
+
+        def block(k):
+            ks = jax.random.split(k, 7)
+            return {
+                "ada_lin": nn.linear_init(ks[0], cd, 6 * d),
+                "q": nn.linear_init(ks[1], d, d, bias=True),
+                "k": nn.linear_init(ks[2], d, d, bias=False),
+                "v": nn.linear_init(ks[3], d, d, bias=True),
+                "proj": nn.linear_init(ks[4], d, d, bias=True),
+                # learned per-head log attention scale, init log(4)
+                # (transformer.py:53-56)
+                "scale_mul": jnp.full((1, self.num_heads, 1, 1), math.log(4.0)),
+                "fc1": nn.linear_init(ks[5], d, hidden),
+                "fc2": nn.linear_init(ks[6], hidden, d),
+            }
+
+        blocks = [block(jax.random.fold_in(keys[0], i)) for i in range(self.depth)]
+        return {
+            "vae": self.vae.init(keys[1]),
+            "style_encoder": self.style_encoder.init(keys[2]),
+            "audio_encoder": self.audio_encoder.init(keys[3]),
+            "vqfeat_embed": nn.linear_init(keys[4], cfg.vae.code_dim, d),
+            "style_cond_embed": nn.linear_init(keys[5], cfg.ar.style_dim, d),
+            "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+            "head": {
+                "ada_lin": nn.linear_init(keys[6], cd, 2 * d),
+                "out": nn.linear_init(keys[7], d, cfg.vae.code_dim * 2),
+            },
+            "null_style_cond": jax.random.normal(keys[8], (1, 1, d)) * 0.5,
+            "pos_embed": nn.trunc_normal(keys[9], (1, self.total_tokens, d), std=pe_std),
+            "prev_pos_embed": nn.trunc_normal(keys[10], (1, self.prev_len, d), std=pe_std),
+            "lvl_embed": nn.trunc_normal(keys[11], (len(self.patch_nums), d), std=pe_std),
+        }
+
+    # -------------------------------------------------------------- embeddings
+
+    def _lvl_idx(self) -> jnp.ndarray:
+        return jnp.concatenate([
+            jnp.full((pn,), i, jnp.int32) for i, pn in enumerate(self.patch_nums)
+        ])
+
+    def lvl_pos_embed(self, params: nn.Params) -> jnp.ndarray:
+        """(1, 181, d): level embedding + absolute position embedding
+        (models.py:74)."""
+        return params["lvl_embed"][self._lvl_idx()][None] + params["pos_embed"]
+
+    def prev_lvl_pos_embed(self, params: nn.Params) -> jnp.ndarray:
+        """(1, prev_len, d) for the previous-window prefix (models.py:75)."""
+        lvl = params["lvl_embed"][self._lvl_idx()][None]
+        return jnp.tile(lvl, (1, self.prev_ratio, 1)) + params["prev_pos_embed"]
+
+    def encode_style(self, params: nn.Params,
+                     style_motion: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Style clip -> (B, 1, d) conditioning token with the reference's
+        CFG-style extrapolation style*1.1 - null*0.1 (models.py:67-73)."""
+        if style_motion is None:
+            return params["null_style_cond"]
+        style = self.style_encoder(params["style_encoder"], style_motion)
+        cond = nn.linear(params["style_cond_embed"], style)[:, None]
+        return cond * 1.1 - params["null_style_cond"] * 0.1
+
+    # ---------------------------------------------------------------- attention
+
+    def _block_kv(self, block: nn.Params, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V heads for tokens x (keys L2-normalized for the cache;
+        transformer.py:71-74)."""
+        k = nn.split_heads(nn.linear(block["k"], x), self.num_heads)
+        v = nn.split_heads(nn.linear(block["v"], x), self.num_heads)
+        return nn.l2_normalize(k), v
+
+    def init_cache(self, params: nn.Params, prev_feat: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-block K/V caches (depth, B, H, cache_len, hd) with the
+        previous-window prefix filled in positions [0, prev_len)."""
+        b = prev_feat.shape[0]
+        shape = (self.depth, b, self.num_heads, self.cache_len, self.head_dim)
+        k_cache = jnp.zeros(shape, prev_feat.dtype)
+        v_cache = jnp.zeros(shape, prev_feat.dtype)
+        k_prev, v_prev = jax.vmap(self._block_kv, in_axes=(0, None))(params["blocks"], prev_feat)
+        k_cache = k_cache.at[:, :, :, : self.prev_len].set(k_prev)
+        v_cache = v_cache.at[:, :, :, : self.prev_len].set(v_prev)
+        return k_cache, v_cache
+
+    def _run_level(self, params: nn.Params, tokens: jnp.ndarray, cond: jnp.ndarray,
+                   caches: Tuple[jnp.ndarray, jnp.ndarray], level: int
+                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Run one scale level's new tokens through all blocks, appending
+        their K/V to the caches. Returns (logits-ready features, caches).
+
+        tokens: (B, pn, d) embedded inputs for this level (pos/lvl added),
+        cond:   (B, pn, audio_dim) audio condition at these positions.
+        """
+        start = self.prev_len + self.offsets[level]
+        end = start + self.patch_nums[level]
+        max_scale = math.log(100.0)
+
+        def block_body(x, inp):
+            block, k_cache, v_cache = inp  # caches: (B, H, cache_len, hd)
+            ada = nn.linear(block["ada_lin"], nn.silu(cond))
+            g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=-1)
+            xm = nn.layer_norm(x, eps=1e-6) * (s1 + 1.0) + sh1
+            q = nn.split_heads(nn.linear(block["q"], xm), self.num_heads)
+            scale_mul = jnp.exp(jnp.minimum(block["scale_mul"], max_scale))
+            q = nn.l2_normalize(q) * scale_mul
+            k_new, v_new = self._block_kv(block, xm)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, start, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, start, axis=2)
+            # level-causal mask is implicit: attend to [prev prefix | levels <= this]
+            attn = nn.sdpa(q, k_cache[:, :, :end], v_cache[:, :, :end], scale=1.0)
+            x = x + nn.linear(block["proj"], nn.merge_heads(attn)) * g1
+            xm2 = nn.layer_norm(x, eps=1e-6) * (s2 + 1.0) + sh2
+            x = x + nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], xm2))) * g2
+            return x, (k_cache, v_cache)
+
+        feats, caches = jax.lax.scan(block_body, tokens, (params["blocks"],) + caches)
+        return feats, caches
+
+    def _head_bits(self, params: nn.Params, feats: jnp.ndarray,
+                   cond: jnp.ndarray) -> jnp.ndarray:
+        """AdaLN head + per-bit greedy argmax (models.py:103-104, 138-148)."""
+        head = params["head"]
+        scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(cond)), 2, axis=-1)
+        feats = nn.layer_norm(feats, eps=1e-6) * (scale + 1.0) + shift
+        logits = nn.linear(head["out"], feats).astype(jnp.float32)
+        b, l, _ = logits.shape
+        return jnp.argmax(logits.reshape(b, l, -1, 2), axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------ window decode
+
+    def audio_condition(self, params: nn.Params, audio_chunk: jnp.ndarray) -> jnp.ndarray:
+        """One 4 s audio chunk -> (B, 181, audio_dim) multi-scale condition
+        (models.py:93-95): wav2vec features area-resized to each scale."""
+        feat = self.audio_encoder(params["audio_encoder"], audio_chunk)
+        return jnp.concatenate([resize_area(feat, pn) for pn in self.patch_nums], axis=1)
+
+    def decode_window(self, params: nn.Params, audio_cond: jnp.ndarray,
+                      style_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray) -> jnp.ndarray:
+        """Generate one window's code bits (B, 181, code_dim), greedy.
+
+        Level loop is unrolled at trace time (5 static shapes); each level
+        feeds only its *new* tokens, attending to the KV cache.
+        """
+        lvl_pos = self.lvl_pos_embed(params)
+        prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
+        caches = self.init_cache(params, prev_feat)
+        window = self.patch_nums[-1]
+        code_dim = self.cfg.vae.code_dim
+        b = audio_cond.shape[0]
+
+        f_hat = jnp.zeros((b, window, code_dim), jnp.float32)
+        tokens = style_cond + lvl_pos[:, :1]
+        all_bits = []
+        for level, pn in enumerate(self.patch_nums):
+            off = self.offsets[level]
+            cond = audio_cond[:, off : off + pn]
+            feats, caches = self._run_level(params, tokens, cond, caches, level)
+            bits = self._head_bits(params, feats, cond)
+            all_bits.append(bits)
+            if level < len(self.patch_nums) - 1:
+                next_pn = self.patch_nums[level + 1]
+                f_hat = f_hat + resize_linear(bits_to_values(bits, code_dim), window)
+                nxt = resize_area(f_hat, next_pn)
+                tokens = (nn.linear(params["vqfeat_embed"], nxt)
+                          + lvl_pos[:, off + pn : off + pn + next_pn])
+        return jnp.concatenate(all_bits, axis=1)
+
+    # ------------------------------------------------------------ sliding window
+
+    def initial_state(self, params: nn.Params, style_cond: jnp.ndarray,
+                      batch_size: int = 1) -> WindowState:
+        """Bootstrap carry from a zero-motion window (models.py:86-89)."""
+        zero_motion = jnp.zeros((batch_size, self.patch_nums[-1], self.cfg.vae.motion_dim))
+        prev_bits, _ = self.vae.encode_to_bits(params["vae"], zero_motion)
+        return WindowState(prev_bits, self._prefix_from_bits(params, style_cond, prev_bits,
+                                                             tile=True))
+
+    def _prefix_from_bits(self, params: nn.Params, style_cond: jnp.ndarray,
+                          bits: jnp.ndarray, tile: bool = False) -> jnp.ndarray:
+        """[style token | embedded multi-scale feats] prefix (models.py:89,113)."""
+        ms_feat = self.vae.bits_to_ms_feat(bits)
+        prefix = jnp.concatenate(
+            [jnp.broadcast_to(style_cond, (bits.shape[0],) + style_cond.shape[1:]),
+             nn.linear(params["vqfeat_embed"], ms_feat)], axis=1)
+        if tile:
+            prefix = jnp.tile(prefix, (1, self.prev_ratio, 1))
+        return prefix
+
+    def window_step(self, params: nn.Params, state: WindowState,
+                    audio_chunk: jnp.ndarray, style_cond: jnp.ndarray
+                    ) -> Tuple[WindowState, jnp.ndarray]:
+        """One sliding-window step: 4 s audio -> 100 motion frames + new carry.
+
+        Mirrors the reference's outer loop body (models.py:92-114) with the
+        carry (prev bits + rolled prefix) threaded functionally, so it drops
+        straight into ``lax.scan`` (offline) or repeated calls (streaming).
+        """
+        audio_cond = self.audio_condition(params, audio_chunk)
+        bits = self.decode_window(params, audio_cond, style_cond, state.prev_attn_feat)
+        _, this_motion = self.vae.decode_from_bits(params["vae"], state.prev_bits, bits)
+        new_prev_bits, _ = self.vae.encode_to_bits(params["vae"], this_motion)
+        new_prefix = self._prefix_from_bits(params, style_cond, new_prev_bits)
+        rolled = jnp.concatenate(
+            [state.prev_attn_feat[:, new_prefix.shape[1]:], new_prefix], axis=1)
+        return WindowState(new_prev_bits, rolled), this_motion
+
+    def generate(self, params: nn.Params, audio_chunks: jnp.ndarray,
+                 style_cond: jnp.ndarray) -> jnp.ndarray:
+        """Offline path: scan over (N, B, window_samples) chunks ->
+        (B, N*window, motion_dim) motions. Constant memory in N."""
+        state = self.initial_state(params, style_cond, batch_size=audio_chunks.shape[1])
+
+        def body(carry, chunk):
+            return self.window_step(params, carry, chunk, style_cond)
+
+        _, motions = jax.lax.scan(body, state, audio_chunks)
+        # (N, B, window, D) -> (B, N*window, D)
+        n, b, w, d = motions.shape
+        return motions.transpose(1, 0, 2, 3).reshape(b, n * w, d)

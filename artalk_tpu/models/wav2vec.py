@@ -1,0 +1,168 @@
+"""wav2vec2-xls-r-300m audio encoder, TPU-native.
+
+The reference wraps HF's ``Wav2Vec2Model`` with a custom forward: per-utterance
+z-normalization -> conv feature extractor -> feature projection -> 24-layer
+stable-layer-norm transformer encoder, returning (B, ~50/s, 1024) features
+(reference: app/modules/wav2vec.py:11-27; config facebook/wav2vec2-xls-r-300m
+per app/models.py:25-27). This is a from-scratch JAX implementation of that
+architecture: convs via lax.conv_general_dilated, encoder layers parameter-
+stacked under lax.scan, weight-norm of the positional conv materialized at
+conversion time.
+
+For the fixed 4 s window (64 000 samples) every shape is static: the conv
+stack yields exactly 199 frames, so downstream resizes are constant matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Wav2VecConfig
+from . import nn
+
+
+def normalize_audio(audio: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Per-utterance z-norm with torch ``std`` semantics (unbiased, ddof=1)
+    (reference: app/modules/wav2vec.py:22-27)."""
+    mean = jnp.mean(audio, axis=-1, keepdims=True)
+    n = audio.shape[-1]
+    var = jnp.sum(jnp.square(audio - mean), axis=-1, keepdims=True) / (n - 1)
+    return (audio - mean) / (jnp.sqrt(var) + eps)
+
+
+def _conv1d(w: jnp.ndarray, b: jnp.ndarray | None, x: jnp.ndarray,
+            stride: int = 1, padding: int = 0, groups: int = 1) -> jnp.ndarray:
+    """1-D conv on (B, C, T) with torch weight layout (out, in/groups, k)."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        feature_group_count=groups,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        y = y + b[None, :, None]
+    return y
+
+
+class Wav2VecEncoder:
+    def __init__(self, cfg: Wav2VecConfig = Wav2VecConfig()):
+        assert cfg.feat_extract_norm == "layer_norm" and cfg.do_stable_layer_norm, (
+            "only the xls-r (layer_norm / stable-layer-norm) variant is implemented"
+        )
+        self.cfg = cfg
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> nn.Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 8)
+
+        convs = []
+        in_ch = 1
+        for i, (out_ch, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+            kk = jax.random.fold_in(keys[0], i)
+            fan_in = in_ch * k
+            w = nn.kaiming_uniform(kk, (out_ch, in_ch, k), fan_in=fan_in)
+            conv = {"w": w}
+            if cfg.conv_bias:
+                conv["b"] = jnp.zeros((out_ch,))
+            convs.append({"conv": conv, "norm": nn.layer_norm_init(out_ch)})
+            in_ch = out_ch
+
+        d = cfg.hidden_size
+        pos_groups = cfg.num_conv_pos_embedding_groups
+        pos_k = cfg.num_conv_pos_embeddings
+        pos_fan_in = (d // pos_groups) * pos_k
+        pos_conv = {
+            "w": nn.kaiming_uniform(keys[1], (d, d // pos_groups, pos_k), fan_in=pos_fan_in),
+            "b": jnp.zeros((d,)),
+        }
+
+        def layer(k):
+            ks = jax.random.split(k, 6)
+            return {
+                "q": nn.linear_init(ks[0], d, d),
+                "k": nn.linear_init(ks[1], d, d),
+                "v": nn.linear_init(ks[2], d, d),
+                "out": nn.linear_init(ks[3], d, d),
+                "norm1": nn.layer_norm_init(d),
+                "norm2": nn.layer_norm_init(d),
+                "fc1": nn.linear_init(ks[4], d, cfg.intermediate_size),
+                "fc2": nn.linear_init(ks[5], cfg.intermediate_size, d),
+            }
+
+        layers = [layer(jax.random.fold_in(keys[2], i)) for i in range(cfg.num_hidden_layers)]
+        return {
+            "feature_extractor": convs,
+            "feature_projection": {
+                "norm": nn.layer_norm_init(cfg.conv_dim[-1]),
+                "proj": nn.linear_init(keys[3], cfg.conv_dim[-1], d),
+            },
+            "encoder": {
+                "pos_conv": pos_conv,
+                "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+                "final_norm": nn.layer_norm_init(d),
+            },
+        }
+
+    # -- forward --------------------------------------------------------------
+
+    def extract_features(self, params: nn.Params, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, T_samples) -> (B, T_frames, conv_dim): the conv feature stack.
+
+        layer_norm mode: each conv is followed by a channel LayerNorm and erf-GELU.
+        """
+        cfg = self.cfg
+        x = audio[:, None, :]  # (B, 1, T)
+        for p, stride in zip(params["feature_extractor"], cfg.conv_stride):
+            x = _conv1d(p["conv"]["w"], p["conv"].get("b"), x, stride=stride)
+            x = x.transpose(0, 2, 1)
+            x = nn.layer_norm_apply(p["norm"], x, eps=cfg.layer_norm_eps)
+            x = nn.gelu_erf(x).transpose(0, 2, 1)
+        return x.transpose(0, 2, 1)  # (B, T, C)
+
+    def _pos_conv_embed(self, params: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        p = params["encoder"]["pos_conv"]
+        h = _conv1d(p["w"], p["b"], x.transpose(0, 2, 1),
+                    padding=cfg.num_conv_pos_embeddings // 2,
+                    groups=cfg.num_conv_pos_embedding_groups)
+        if cfg.num_conv_pos_embeddings % 2 == 0:  # SamePad: drop trailing step
+            h = h[..., :-1]
+        return nn.gelu_erf(h.transpose(0, 2, 1))
+
+    def encode(self, params: nn.Params, features: jnp.ndarray) -> jnp.ndarray:
+        """Feature projection + stable-layer-norm transformer encoder."""
+        cfg = self.cfg
+        eps = cfg.layer_norm_eps
+        fp = params["feature_projection"]
+        x = nn.linear(fp["proj"], nn.layer_norm_apply(fp["norm"], features, eps=eps))
+        x = x + self._pos_conv_embed(params, x)
+        num_heads = cfg.num_attention_heads
+
+        def layer_body(h, p):
+            y = nn.layer_norm_apply(p["norm1"], h, eps=eps)
+            q = nn.split_heads(nn.linear(p["q"], y), num_heads)
+            k = nn.split_heads(nn.linear(p["k"], y), num_heads)
+            v = nn.split_heads(nn.linear(p["v"], y), num_heads)
+            attn = nn.merge_heads(nn.sdpa(q, k, v, scale=q.shape[-1] ** -0.5))
+            h = h + nn.linear(p["out"], attn)
+            y = nn.layer_norm_apply(p["norm2"], h, eps=eps)
+            h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y)))
+            return h, None
+
+        x, _ = jax.lax.scan(layer_body, x, params["encoder"]["layers"])
+        return nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
+
+    def __call__(self, params: nn.Params, audio: jnp.ndarray) -> jnp.ndarray:
+        """Full reference forward (wav2vec.py:11-20): z-norm -> convs -> encoder."""
+        audio = normalize_audio(audio)
+        feats = self.extract_features(params, audio)
+        return self.encode(params, feats)
+
+    def num_output_frames(self, num_samples: int) -> int:
+        return self.cfg.num_output_frames(num_samples)
