@@ -67,10 +67,13 @@ class ARConfig:
     embed_dim: int = 768            # fixed in the reference (app/models.py:19)
     style_dim: int = 128            # StyleEncoder output dim (style_encoder.py:16)
     mlp_ratio: float = 4.0
+    audio_dim: int | None = None    # override conditioning width (tests/small models)
 
     @property
     def audio_feature_dim(self) -> int:
         """Conditioning width per audio encoder (reference: app/models.py:27,30)."""
+        if self.audio_dim is not None:
+            return self.audio_dim
         return {"wav2vec": 1024, "mimi": 512}[self.audio_encoder]
 
     @classmethod
@@ -104,7 +107,7 @@ class Wav2VecConfig:
     conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
     conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
     conv_bias: bool = True
-    feat_extract_norm: str = "layer_norm"   # per-conv-layer LayerNorm
+    feat_extract_norm: str = "layer"   # per-conv-layer LayerNorm (HF enum value)
     hidden_size: int = 1024
     num_hidden_layers: int = 24
     num_attention_heads: int = 16

@@ -226,7 +226,8 @@ class BitwiseARModel:
         b = audio_cond.shape[0]
 
         f_hat = jnp.zeros((b, window, code_dim), jnp.float32)
-        tokens = style_cond + lvl_pos[:, :1]
+        tokens = jnp.broadcast_to(style_cond + lvl_pos[:, :1],
+                                  (b, 1, self.embed_dim))
         all_bits = []
         for level, pn in enumerate(self.patch_nums):
             off = self.offsets[level]

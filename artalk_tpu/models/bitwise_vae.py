@@ -106,6 +106,11 @@ class BitwiseVAE:
 
         pe_std_enc = math.sqrt(1 / cfg.motion_dim / 3)
         pe_std_dec = math.sqrt(1 / cfg.code_dim / 3)
+        if cfg.motion_dim == ALLTALKEMICA_MEAN.shape[0]:
+            mean, std = ALLTALKEMICA_MEAN, ALLTALKEMICA_STD
+        else:  # non-standard motion dim (tests / custom datasets): identity stats
+            mean = jnp.zeros((cfg.motion_dim,))
+            std = jnp.ones((cfg.motion_dim,))
         return {
             "encoder": {
                 "inp": nn.linear_init(keys[0], cfg.motion_dim, cfg.hidden_dim),
@@ -122,8 +127,8 @@ class BitwiseVAE:
             },
             "enc_pos_embed": nn.trunc_normal(keys[6], (1, 2 * self.window, cfg.motion_dim), std=pe_std_enc),
             "dec_pos_embed": nn.trunc_normal(keys[7], (1, 2 * self.window, cfg.code_dim), std=pe_std_dec),
-            "motion_mean": jnp.asarray(ALLTALKEMICA_MEAN),
-            "motion_std": jnp.asarray(ALLTALKEMICA_STD),
+            "motion_mean": jnp.asarray(mean),
+            "motion_std": jnp.asarray(std),
         }
 
     # -- helpers ---------------------------------------------------------------

@@ -48,12 +48,17 @@ class StyleEncoder:
             }
 
         layers = [layer(keys[i]) for i in range(self.num_layers)]
+        if self.motion_dim == ALLTALKEMICA_MEAN.shape[0]:
+            mean, std = ALLTALKEMICA_MEAN, ALLTALKEMICA_STD
+        else:  # non-standard motion dim (tests / custom datasets): identity stats
+            mean = jnp.zeros((self.motion_dim,))
+            std = jnp.ones((self.motion_dim,))
         return {
             "proj": nn.linear_init(keys[-1], self.motion_dim, self.feature_dim),
             "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
             "pe": jnp.asarray(nn.sinusoidal_pe(self.max_len, self.feature_dim))[None],
-            "motion_mean": jnp.asarray(ALLTALKEMICA_MEAN),
-            "motion_std": jnp.asarray(ALLTALKEMICA_STD),
+            "motion_mean": jnp.asarray(mean),
+            "motion_std": jnp.asarray(std),
         }
 
     def __call__(self, params: nn.Params, motion: jnp.ndarray) -> jnp.ndarray:

@@ -50,7 +50,7 @@ def _conv1d(w: jnp.ndarray, b: jnp.ndarray | None, x: jnp.ndarray,
 
 class Wav2VecEncoder:
     def __init__(self, cfg: Wav2VecConfig = Wav2VecConfig()):
-        assert cfg.feat_extract_norm == "layer_norm" and cfg.do_stable_layer_norm, (
+        assert cfg.feat_extract_norm == "layer" and cfg.do_stable_layer_norm, (
             "only the xls-r (layer_norm / stable-layer-norm) variant is implemented"
         )
         self.cfg = cfg

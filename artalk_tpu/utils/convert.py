@@ -1,0 +1,225 @@
+"""Reference (PyTorch) checkpoint -> ARTalk-TPU parameter pytree conversion.
+
+Maps the reference's ``ARTalk_wav2vec.pt`` state-dict layout (the
+BitwiseARModel built at app/models.py:13-56, including the embedded
+wav2vec2-xls-r audio encoder, BITWISE_VAE, and StyleEncoder) onto this
+framework's parameter pytrees. Works on dicts of numpy arrays so the library
+itself never imports torch; the CLI tool (tools/convert_checkpoint.py) does
+the ``torch.load`` and hands numpy arrays here.
+
+Conventions translated:
+- torch Linear stores (out, in); we store w as (in, out)  -> transpose.
+- torch LayerNorm weight/bias -> scale/bias.
+- weight-normed convs (wav2vec positional conv) are materialized.
+- registered buffers that are derived constants (attention masks, level
+  indices) are dropped -- we rebuild them from config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _lin(sd: StateDict, prefix: str, bias: bool = True) -> dict:
+    p = {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _ln(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _stack(trees: List[dict]) -> dict:
+    """Stack a list of identical param trees along a new leading axis."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+# ---------------------------------------------------------------------------
+# wav2vec2 (HF Wav2Vec2Model state dict, xls-r layer_norm variant)
+# ---------------------------------------------------------------------------
+
+
+def _materialize_weight_norm(sd: StateDict, prefix: str) -> Array:
+    """Materialize a weight-normed conv weight (old weight_g/weight_v naming or
+    new parametrizations naming). Norm is over dims (0, 1), per kernel position
+    (torch weight_norm dim=2 as used by HF's positional conv)."""
+    if f"{prefix}.weight" in sd:
+        return sd[f"{prefix}.weight"]
+    if f"{prefix}.weight_g" in sd:
+        g, v = sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"]
+    else:
+        g = sd[f"{prefix}.parametrizations.weight.original0"]
+        v = sd[f"{prefix}.parametrizations.weight.original1"]
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    return (g * v / norm).astype(v.dtype)
+
+
+def convert_wav2vec(sd: StateDict, num_layers: int = 24, num_convs: int = 7) -> dict:
+    """HF Wav2Vec2Model (xls-r-300m) state dict -> Wav2VecEncoder params."""
+    convs = []
+    for i in range(num_convs):
+        pre = f"feature_extractor.conv_layers.{i}"
+        conv = {"w": sd[f"{pre}.conv.weight"]}
+        if f"{pre}.conv.bias" in sd:
+            conv["b"] = sd[f"{pre}.conv.bias"]
+        convs.append({"conv": conv, "norm": _ln(sd, f"{pre}.layer_norm")})
+
+    layers = []
+    for i in range(num_layers):
+        pre = f"encoder.layers.{i}"
+        layers.append({
+            "q": _lin(sd, f"{pre}.attention.q_proj"),
+            "k": _lin(sd, f"{pre}.attention.k_proj"),
+            "v": _lin(sd, f"{pre}.attention.v_proj"),
+            "out": _lin(sd, f"{pre}.attention.out_proj"),
+            "norm1": _ln(sd, f"{pre}.layer_norm"),
+            "norm2": _ln(sd, f"{pre}.final_layer_norm"),
+            "fc1": _lin(sd, f"{pre}.feed_forward.intermediate_dense"),
+            "fc2": _lin(sd, f"{pre}.feed_forward.output_dense"),
+        })
+
+    return {
+        "feature_extractor": convs,
+        "feature_projection": {
+            "norm": _ln(sd, "feature_projection.layer_norm"),
+            "proj": _lin(sd, "feature_projection.projection"),
+        },
+        "encoder": {
+            "pos_conv": {
+                "w": _materialize_weight_norm(sd, "encoder.pos_conv_embed.conv"),
+                "b": sd["encoder.pos_conv_embed.conv.bias"],
+            },
+            "layers": _stack(layers),
+            "final_norm": _ln(sd, "encoder.layer_norm"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# StyleEncoder (torch nn.TransformerEncoder layout, style_encoder.py:10-43)
+# ---------------------------------------------------------------------------
+
+
+def convert_style_encoder(sd: StateDict, num_layers: int = 4, max_len: int = 600,
+                          feature_dim: int = 128) -> dict:
+    from ..models.nn import sinusoidal_pe
+
+    layers = []
+    for i in range(num_layers):
+        pre = f"encoder.transformer.layers.{i}"
+        layers.append({
+            "qkv": {
+                "w": np.ascontiguousarray(sd[f"{pre}.self_attn.in_proj_weight"].T),
+                "b": sd[f"{pre}.self_attn.in_proj_bias"],
+            },
+            "out": _lin(sd, f"{pre}.self_attn.out_proj"),
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "fc1": _lin(sd, f"{pre}.linear1"),
+            "fc2": _lin(sd, f"{pre}.linear2"),
+        })
+    pe = sd.get("PE.pe")
+    if pe is None:
+        pe = sinusoidal_pe(max_len, feature_dim)[None]
+    return {
+        "proj": _lin(sd, "encoder.motion_proj"),
+        "layers": _stack(layers),
+        "pe": pe,
+        "motion_mean": sd["motion_mean"],
+        "motion_std": sd["motion_std"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# BITWISE_VAE (bitwise_vae.py:15-41 layout)
+# ---------------------------------------------------------------------------
+
+
+def _vae_tower(sd: StateDict, prefix: str, depth: int) -> dict:
+    layers = []
+    for i in range(depth):
+        attn_pre = f"{prefix}.{2 * i}"
+        ffn_pre = f"{prefix}.{2 * i + 1}"
+        layers.append({
+            "attn": {
+                "norm": _ln(sd, f"{attn_pre}.norm"),
+                "qkv": _lin(sd, f"{attn_pre}.to_qkv", bias=False),
+                "out": _lin(sd, f"{attn_pre}.to_out"),
+            },
+            "ffn": {
+                "fc1": _lin(sd, f"{ffn_pre}.0"),
+                "fc2": _lin(sd, f"{ffn_pre}.2"),
+            },
+        })
+    return _stack(layers)
+
+
+def convert_vae(sd: StateDict, depth: int = 8) -> dict:
+    return {
+        "encoder": {
+            "inp": _lin(sd, "encoder.inp_mapping.0"),
+            "layers": _vae_tower(sd, "encoder.encoder_transformer", depth),
+            "out": _lin(sd, "encoder.code_mapping"),
+        },
+        "decoder": {
+            "inp": _lin(sd, "decoder.inp_mapping.0"),
+            "layers": _vae_tower(sd, "decoder.decoder_transformer", depth),
+            "out": _lin(sd, "decoder.out_mapping"),
+        },
+        "enc_pos_embed": sd["enc_pos_embed"],
+        "dec_pos_embed": sd["dec_pos_embed"],
+        "motion_mean": sd["motion_mean"],
+        "motion_std": sd["motion_std"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full BitwiseARModel (app/models.py:13-56 layout)
+# ---------------------------------------------------------------------------
+
+
+def _subdict(sd: StateDict, prefix: str) -> StateDict:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_ar_model(sd: StateDict, depth: int = 12, vae_depth: int = 8) -> dict:
+    """Full reference checkpoint -> BitwiseARModel params."""
+    blocks = []
+    for i in range(depth):
+        pre = f"attn_blocks.{i}"
+        blocks.append({
+            "ada_lin": _lin(sd, f"{pre}.ada_lin.1"),
+            "q": _lin(sd, f"{pre}.attn.query"),
+            "k": _lin(sd, f"{pre}.attn.key", bias=False),
+            "v": _lin(sd, f"{pre}.attn.value"),
+            "proj": _lin(sd, f"{pre}.attn.proj"),
+            "scale_mul": sd[f"{pre}.attn.scale_mul_1H11"],
+            "fc1": _lin(sd, f"{pre}.ffn.0"),
+            "fc2": _lin(sd, f"{pre}.ffn.2"),
+        })
+    return {
+        "vae": convert_vae(_subdict(sd, "basic_vae."), depth=vae_depth),
+        "style_encoder": convert_style_encoder(_subdict(sd, "style_encoder.")),
+        "audio_encoder": convert_wav2vec(_subdict(sd, "audio_encoder.")),
+        "vqfeat_embed": _lin(sd, "vqfeat_embed"),
+        "style_cond_embed": _lin(sd, "style_cond_embed"),
+        "blocks": _stack(blocks),
+        "head": {
+            "ada_lin": _lin(sd, "cond_logits_head.ada_lin.1"),
+            "out": _lin(sd, "logits_head"),
+        },
+        "null_style_cond": sd["null_style_cond"],
+        "pos_embed": sd["pos_embed"],
+        "prev_pos_embed": sd["prev_pos_embed"],
+        "lvl_embed": sd["lvl_embed.weight"],
+    }
