@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ModelConfig
 from ..ops.resample1d import resize_area, resize_linear
@@ -242,6 +243,62 @@ class BitwiseARModel:
                 tokens = (nn.linear(params["vqfeat_embed"], nxt)
                           + lvl_pos[:, off + pn : off + pn + next_pn])
         return jnp.concatenate(all_bits, axis=1)
+
+    # ---------------------------------------------------------------- training
+
+    def var_attn_bias(self) -> jnp.ndarray:
+        """(1, 1, 181, prev_len + 181) additive bias: all-visible prev prefix +
+        level-causal VAR mask (reference: models.py:123-135). Used only by the
+        teacher-forced training forward; inference needs no mask (the KV cache
+        extent encodes it)."""
+        lvl = np.concatenate([np.full(pn, i) for i, pn in enumerate(self.patch_nums)])
+        mask = np.where(lvl[:, None] >= lvl[None, :], 0.0, -np.inf).astype(np.float32)
+        full = np.concatenate(
+            [np.zeros((self.total_tokens, self.prev_len), np.float32), mask], axis=1)
+        return jnp.asarray(full)[None, None]
+
+    def forward_logits(self, params: nn.Params, tokens: jnp.ndarray,
+                       audio_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray
+                       ) -> jnp.ndarray:
+        """Teacher-forced full-sequence forward: all 181 token inputs at once
+        -> per-position bit logits (B, 181, code_dim, 2). Differentiable."""
+        bias = self.var_attn_bias()
+        prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
+        x = tokens + self.lvl_pos_embed(params)
+        max_scale = math.log(100.0)
+
+        def block_body(h, block):
+            ada = nn.linear(block["ada_lin"], nn.silu(audio_cond))
+            g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=-1)
+            hm = nn.layer_norm(h, eps=1e-6) * (s1 + 1.0) + sh1
+            q = nn.split_heads(nn.linear(block["q"], hm), self.num_heads)
+            scale_mul = jnp.exp(jnp.minimum(block["scale_mul"], max_scale))
+            q = nn.l2_normalize(q) * scale_mul
+            kv_in = jnp.concatenate([prev_feat, hm], axis=1)
+            k = nn.l2_normalize(nn.split_heads(nn.linear(block["k"], kv_in), self.num_heads))
+            v = nn.split_heads(nn.linear(block["v"], kv_in), self.num_heads)
+            attn = nn.sdpa(q, k, v, scale=1.0, bias=bias)
+            h = h + nn.linear(block["proj"], nn.merge_heads(attn)) * g1
+            hm2 = nn.layer_norm(h, eps=1e-6) * (s2 + 1.0) + sh2
+            h = h + nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], hm2))) * g2
+            return h, None
+
+        x, _ = jax.lax.scan(block_body, x, params["blocks"])
+        head = params["head"]
+        scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(audio_cond)), 2, axis=-1)
+        x = nn.layer_norm(x, eps=1e-6) * (scale + 1.0) + shift
+        logits = nn.linear(head["out"], x).astype(jnp.float32)
+        b, l, _ = logits.shape
+        return logits.reshape(b, l, self.cfg.vae.code_dim, 2)
+
+    def teacher_inputs(self, params: nn.Params, bits: jnp.ndarray,
+                       style_cond: jnp.ndarray) -> jnp.ndarray:
+        """AR input tokens for teacher forcing: [style | embedded multi-scale
+        feats of the target bits] (the training-time analogue of models.py:96-100)."""
+        ms_feat = self.vae.bits_to_ms_feat(bits)
+        b = bits.shape[0]
+        style = jnp.broadcast_to(style_cond, (b, 1, self.embed_dim))
+        return jnp.concatenate([style, nn.linear(params["vqfeat_embed"], ms_feat)], axis=1)
 
     # ------------------------------------------------------------ sliding window
 

@@ -62,8 +62,18 @@ def savgol_matrix(n: int, window_length: int, polyorder: int) -> np.ndarray:
 
 
 def savgol_smooth(x: jnp.ndarray, window_length: int, polyorder: int) -> jnp.ndarray:
-    """Smooth along axis -2 of a (..., T, C) array (static T)."""
+    """Smooth along axis -2 of a (..., T, C) array (static T).
+
+    Robustness deviation from the reference (which would crash via scipy):
+    sequences shorter than the window shrink the window to the largest odd
+    length that fits (identity for T < 3).
+    """
     n = x.shape[-2]
+    if n < window_length:
+        window_length = n if n % 2 == 1 else n - 1
+        polyorder = min(polyorder, max(window_length - 1, 0))
+        if window_length < 3:
+            return x
     m = jnp.asarray(savgol_matrix(n, window_length, polyorder))
     return jnp.einsum("ts,...sc->...tc", m, x)
 

@@ -1,0 +1,6 @@
+"""Multi-chip scaling: device meshes, parameter sharding rules, batched decode."""
+
+from .mesh import make_mesh
+from .sharding import param_shardings, shard_params
+
+__all__ = ["make_mesh", "param_shardings", "shard_params"]

@@ -1,0 +1,99 @@
+"""Engine end-to-end on CPU: inference, streaming parity, rendering, CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from artalk_tpu.config import ARConfig, ModelConfig, VAEConfig, Wav2VecConfig
+from artalk_tpu.engine import ARTAvatarInferEngine
+from artalk_tpu.utils.assets import save_flame_npz, synthetic_flame
+
+SMALL_W2V = Wav2VecConfig(
+    conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+    hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=64, num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4)
+
+# motion_dim stays 106 so the FLAME/rendering path applies; everything else tiny
+CFG = ModelConfig(
+    ar=ARConfig(depth=2, num_heads=4, embed_dim=64, style_dim=16, audio_dim=32),
+    vae=VAEConfig(motion_dim=106, code_dim=8, depth=2, num_heads=4, hidden_dim=32,
+                  patch_nums=(1, 2, 4)),
+    wav2vec=SMALL_W2V)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    assets = tmp_path_factory.mktemp("assets")
+    save_flame_npz(synthetic_flame(num_verts=400, num_faces=512, seed=2),
+                   str(assets / "flame_synthetic.npz"))
+    out = tmp_path_factory.mktemp("out")
+    return ARTAvatarInferEngine(
+        load_gaga=False, clip_length=750, assets_dir=str(assets),
+        output_dir=str(out), config=CFG, image_size=128, interpret=True)
+
+
+def test_inference_shape_and_determinism(engine, rng):
+    audio = (rng.standard_normal(4000) * 0.1).astype(np.float32)  # 0.25 s
+    motions = engine.inference(audio)
+    # ceil(4000/16000*25) = 7 frames
+    assert motions.shape == (7, 106)
+    assert np.isfinite(motions).all()
+    # jaw dims zeroed (inference.py:56)
+    np.testing.assert_array_equal(motions[:, 104:], 0.0)
+    motions2 = engine.inference(audio)
+    np.testing.assert_array_equal(motions, motions2)
+
+
+def test_stream_matches_offline(engine, rng):
+    """Streaming chunked decode must produce the same raw windows as the
+    offline lax.scan path (same carry math)."""
+    ws = engine.model.window_samples
+    audio = (rng.standard_normal(3 * ws) * 0.1).astype(np.float32)
+    # offline raw motions (pre-smoothing): replicate via model.generate
+    chunks = jnp.asarray(audio.reshape(3, 1, ws))
+    offline = np.asarray(engine.model.generate(
+        engine.params, chunks, engine.model.encode_style(engine.params, None)))[0]
+    streamed = np.concatenate(
+        list(engine.stream(audio.reshape(3, ws))), axis=0)
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
+def test_style_motion_roundtrip(engine, rng):
+    style = rng.standard_normal((50, 106)).astype(np.float32)
+    engine.set_style_motion(style)
+    audio = (rng.standard_normal(2560) * 0.1).astype(np.float32)
+    styled = engine.inference(audio)
+    engine.style_motion = None
+    unstyled = engine.inference(audio)
+    assert not np.array_equal(styled, unstyled)
+    with pytest.raises(AssertionError):
+        engine.set_style_motion(np.zeros((10, 106), np.float32))
+    engine.style_motion = None
+
+
+def test_rendering_writes_output(engine, rng):
+    audio = (rng.standard_normal(2560) * 0.1).astype(np.float32)
+    motions = engine.inference(audio)
+    out = engine.rendering(audio, motions, shape_id="mesh", save_name="test_clip")
+    assert os.path.exists(out)
+    if out.endswith(".npz"):
+        from artalk_tpu.utils.video import read_video_npz
+
+        frames, fps, aud, sr = read_video_npz(out)
+        assert frames.shape[0] == motions.shape[0]
+        assert frames.shape[1:] == (128, 128, 3)
+        assert fps == 25.0
+
+
+def test_smooth_motion_savgol_static(rng):
+    from scipy.signal import savgol_filter
+
+    motion = rng.standard_normal((60, 106)).astype(np.float32)
+    got = ARTAvatarInferEngine.smooth_motion_savgol(motion)
+    ref = savgol_filter(motion, 5, 2, axis=0)
+    ref[..., 100:103] = savgol_filter(motion[..., 100:103], 9, 3, axis=0)
+    np.testing.assert_allclose(got, ref, atol=1e-4)

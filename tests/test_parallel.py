@@ -1,0 +1,90 @@
+"""Multi-chip code paths on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from artalk_tpu.parallel.mesh import make_mesh
+from artalk_tpu.parallel.sharding import param_shardings, shard_params
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = make_mesh()
+    assert mesh.shape["dp"] == jax.device_count()
+
+
+def test_param_sharding_rules():
+    from artalk_tpu.config import ARConfig, ModelConfig, VAEConfig, Wav2VecConfig
+
+    cfg = ModelConfig(
+        ar=ARConfig(depth=2, num_heads=4, embed_dim=64, style_dim=16, audio_dim=32),
+        vae=VAEConfig(motion_dim=12, code_dim=8, depth=2, num_heads=4,
+                      hidden_dim=32, patch_nums=(1, 2, 4)),
+        wav2vec=Wav2VecConfig(
+            conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4))
+    from artalk_tpu.models.ar_model import BitwiseARModel
+
+    model = BitwiseARModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=4, tp=2)
+    shardings = param_shardings(params, mesh)
+    # column-parallel q, row-parallel proj in AR blocks
+    assert shardings["blocks"]["q"]["w"].spec == P(None, None, "tp")
+    assert shardings["blocks"]["proj"]["w"].spec == P(None, "tp", None)
+    assert shardings["blocks"]["fc1"]["w"].spec == P(None, None, "tp")
+    assert shardings["blocks"]["fc2"]["w"].spec == P(None, "tp", None)
+    # wav2vec encoder layers likewise; embeddings replicated
+    assert shardings["audio_encoder"]["encoder"]["layers"]["q"]["w"].spec == P(None, None, "tp")
+    assert shardings["pos_embed"].spec == P()
+
+    sharded = shard_params(params, mesh)
+    q = sharded["blocks"]["q"]["w"]
+    assert q.sharding.spec == P(None, None, "tp")
+    np.testing.assert_allclose(np.asarray(q), np.asarray(params["blocks"]["q"]["w"]))
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_batched_clip_decode_dp():
+    """Data-parallel batched decode over clips (BASELINE config #2 shape):
+    the generate path works with a dp-sharded batch of 4 clips."""
+    from artalk_tpu.config import ARConfig, ModelConfig, VAEConfig, Wav2VecConfig
+    from artalk_tpu.models.ar_model import BitwiseARModel
+    from artalk_tpu.parallel.sharding import batch_sharding
+
+    cfg = ModelConfig(
+        ar=ARConfig(depth=2, num_heads=4, embed_dim=64, style_dim=16, audio_dim=32),
+        vae=VAEConfig(motion_dim=12, code_dim=8, depth=2, num_heads=4,
+                      hidden_dim=32, patch_nums=(1, 2, 4)),
+        wav2vec=Wav2VecConfig(
+            conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4))
+    model = BitwiseARModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=4, tp=1)
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(rng.standard_normal((2, 4, model.window_samples)).astype(np.float32))
+    style = model.encode_style(params, None)
+    with mesh:
+        chunks = jax.device_put(chunks, batch_sharding(mesh, 3, axis=1))
+        generate = jax.jit(model.generate)
+        motions = jax.device_get(generate(params, chunks, style))
+    assert motions.shape == (4, 2 * cfg.vae.window, cfg.vae.motion_dim)
+    assert np.isfinite(motions).all()
