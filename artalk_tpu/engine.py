@@ -33,6 +33,7 @@ from .models.renderer import MeshRenderer
 from .ops.savgol import smooth_motion_savgol
 from .utils.assets import load_or_synthesize_flame
 from .utils.checkpoint import load_params
+from .utils.metrics import GLOBAL_METRICS
 from .utils.video import write_video
 
 
@@ -132,22 +133,31 @@ class ARTAvatarInferEngine:
         padded[: len(audio)] = audio[: n_windows * ws]
         chunks = jnp.asarray(padded.reshape(n_windows, 1, ws))
 
-        motions = self._generate(self.params, chunks, self._style_cond())
-        motions = motions[:, :seq_length]
-        motions = self._postprocess(motions, self.fix_pose)
+        with GLOBAL_METRICS.stage("inference.generate"):
+            motions = self._generate(self.params, chunks, self._style_cond())
+        GLOBAL_METRICS.count("inference.windows", n_windows)
+        GLOBAL_METRICS.count("inference.frames", seq_length)
+        with GLOBAL_METRICS.stage("inference.postprocess"):
+            motions = motions[:, :seq_length]
+            motions = self._postprocess(motions, self.fix_pose)
         clip_length = clip_length if clip_length is not None else self.clip_length
         return np.asarray(motions[0])[:clip_length]
 
-    def stream(self, audio_chunks: Iterator[np.ndarray]) -> Iterator[np.ndarray]:
+    def stream(self, audio_chunks: Iterator[np.ndarray],
+               state: Optional[WindowState] = None) -> Iterator[np.ndarray]:
         """Streaming decode: yields (window, 106) raw motion per 4 s chunk.
 
         The carry (prev codes + attention prefix) is donated across steps, so
         arbitrarily long streams run in constant device memory. Chunks shorter
         than a window are zero-padded (matching the offline padding semantics).
+
+        Mid-stream resume: pass ``state`` from a previous session's
+        ``last_stream_state`` (host-transferable pytree) to continue a long
+        clip exactly where it stopped.
         """
         ws = self.model.window_samples
         style_cond = self._style_cond()
-        state: Optional[WindowState] = None
+        self.last_stream_state: Optional[WindowState] = state
         for chunk in audio_chunks:
             chunk = np.asarray(chunk, np.float32).reshape(-1)
             n_valid = min(len(chunk), ws)
@@ -155,8 +165,10 @@ class ARTAvatarInferEngine:
             buf[:n_valid] = chunk[:ws]
             if state is None:
                 state = self.model.initial_state(self.params, style_cond)
-            state, motion = self._window_step(
-                self.params, state, jnp.asarray(buf[None]), style_cond)
+            with GLOBAL_METRICS.stage("stream.window_step"):
+                state, motion = self._window_step(
+                    self.params, state, jnp.asarray(buf[None]), style_cond)
+            self.last_stream_state = state
             n_frames = math.ceil(n_valid / self.cfg.sample_rate * self.cfg.fps)
             yield np.asarray(motion[0])[:n_frames]
 
@@ -168,14 +180,17 @@ class ARTAvatarInferEngine:
         """Motions -> rendered video with muxed audio; returns output path."""
         pred_motions = jnp.asarray(np.asarray(pred_motions, np.float32))
         t = pred_motions.shape[0]
+        GLOBAL_METRICS.count("render.frames", int(t))
         if shape_id == "mesh":
             if shape_code is None:
                 shape = jnp.zeros((t, 300), jnp.float32)
             else:
                 shape_code = np.asarray(shape_code, np.float32).reshape(1, -1)
                 shape = jnp.broadcast_to(jnp.asarray(shape_code), (t, shape_code.shape[1]))
-            verts = self._flame_verts(shape, pred_motions)
-            frames = self.mesh_renderer.render_frames(verts)
+            with GLOBAL_METRICS.stage("render.flame_verts"):
+                verts = self._flame_verts(shape, pred_motions)
+            with GLOBAL_METRICS.stage("render.rasterize"):
+                frames = self.mesh_renderer.render_frames(verts)
         else:
             frames = self.gagavatar.render_motion_sequence(
                 shape_id, pred_motions, self.gagavatar_flame)

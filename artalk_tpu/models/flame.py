@@ -139,6 +139,20 @@ class FlameModel:
         self.lbs_weights = jnp.asarray(data["lbs_weights"], dtype=jnp.float32)
         self.faces = np.asarray(data["faces"], np.int32)
         self.num_joints = int(self.j_regressor.shape[0])
+        # optional landmark tables (converted from the FLAME checkpoint's
+        # lmk_embeddings; FLAME.py:50-57)
+        self.lmk_faces_idx = data.get("full_lmk_faces_idx")
+        self.lmk_bary_coords = data.get("full_lmk_bary_coords")
+
+    def landmarks(self, vertices: jnp.ndarray, refine_eyes: bool = True) -> jnp.ndarray:
+        """(B, V, 3) verts -> (B, 70, 3) landmarks (FLAME.py:150-156).
+        Requires converted landmark tables in the asset."""
+        assert self.lmk_faces_idx is not None, "asset has no landmark tables"
+        lmks = vertices2landmarks(vertices, self.faces,
+                                  self.lmk_faces_idx, self.lmk_bary_coords)
+        if refine_eyes and vertices.shape[1] == 5023:
+            lmks = reselect_eyes(vertices, lmks)
+        return lmks
 
     def __call__(self, shape_params: jnp.ndarray,
                  expression_params: jnp.ndarray,
@@ -174,3 +188,35 @@ class FlameModel:
         if not with_global:
             pose = jnp.concatenate([jnp.zeros_like(pose[..., :3]), pose[..., 3:]], axis=-1)
         return self(shape_params, exp, pose)
+
+
+def vertices2landmarks(vertices: jnp.ndarray, faces: np.ndarray,
+                       lmk_faces_idx: np.ndarray,
+                       lmk_bary_coords: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric landmark interpolation (lbs.py:103-139).
+
+    vertices (B, V, 3); faces (F, 3); lmk_faces_idx (L,); bary (L, 3).
+    """
+    tri = faces[np.asarray(lmk_faces_idx, np.int64)]     # (L, 3) static gather
+    lmk_verts = vertices[:, tri]                         # (B, L, 3, 3)
+    return jnp.einsum("blfi,lf->bli", lmk_verts, jnp.asarray(lmk_bary_coords))
+
+
+# 70-landmark eye refinement (FLAME.py:194-204): specific eyeball vertices
+# replace the coarse eye landmarks.
+_EYE_IN_SHAPE = np.array([2422, 2422, 2452, 2454, 2471, 3638, 2276, 2360, 3835,
+                          1292, 1217, 1146, 1146, 999, 827], np.int64)
+_EYE_REDUCE = np.array([0, 2, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14], np.int64)
+_EYE_TARGET = np.array([37, 38, 40, 41, 43, 44, 46, 47], np.int64)
+_EYE_SOURCE = np.array([1, 2, 4, 5, 7, 8, 10, 11], np.int64)
+
+
+def reselect_eyes(vertices: jnp.ndarray, lmks70: jnp.ndarray) -> jnp.ndarray:
+    """Replace eye landmarks with eyeball-vertex positions (FLAME.py:194-204).
+    Requires the full 5023-vertex FLAME topology."""
+    eye = vertices[:, _EYE_IN_SHAPE]
+    eye = eye.at[:, 0].set((eye[:, 0] + eye[:, 1]) * 0.5)
+    eye = eye.at[:, 2].set((eye[:, 2] + eye[:, 3]) * 0.5)
+    eye = eye.at[:, 11].set((eye[:, 11] + eye[:, 12]) * 0.5)
+    eye = eye[:, _EYE_REDUCE]
+    return lmks70.at[:, _EYE_TARGET].set(eye[:, _EYE_SOURCE])

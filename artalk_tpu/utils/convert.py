@@ -223,3 +223,149 @@ def convert_ar_model(sd: StateDict, depth: int = 12, vae_depth: int = 8) -> dict
         "prev_pos_embed": sd["prev_pos_embed"],
         "lvl_embed": sd["lvl_embed.weight"],
     }
+
+
+# ---------------------------------------------------------------------------
+# GAGAvatar (app/GAGAvatar/models.py:16-47 layout)
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd: StateDict, prefix: str, bias: bool = True) -> dict:
+    p = {"w": sd[f"{prefix}.weight"]}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def convert_dino_vit(sd: StateDict, depth: int = 12) -> dict:
+    """torch-hub DINOv2 ViT state dict (dinov2_vitb14) -> DinoViT params."""
+    blocks = []
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        blocks.append({
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "qkv": _lin(sd, f"{pre}.attn.qkv"),
+            "proj": _lin(sd, f"{pre}.attn.proj"),
+            "ls1": sd[f"{pre}.ls1.gamma"],
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "fc1": _lin(sd, f"{pre}.mlp.fc1"),
+            "fc2": _lin(sd, f"{pre}.mlp.fc2"),
+            "ls2": sd[f"{pre}.ls2.gamma"],
+        })
+    import jax
+
+    return {
+        "patch_embed": _conv(sd, "patch_embed.proj"),
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "blocks": jax.tree.map(lambda *xs: np.stack(xs), *blocks),
+        "norm": _ln(sd, "norm"),
+    }
+
+
+def convert_dino_dpt(sd: StateDict) -> dict:
+    """DINOBase state dict (dino_base.py:8-51) -> DinoDPT params."""
+
+    def fusion(pre):
+        return {
+            "res1": {"conv1": _conv(sd, f"{pre}.resConfUnit1.conv1"),
+                     "conv2": _conv(sd, f"{pre}.resConfUnit1.conv2")},
+            "res2": {"conv1": _conv(sd, f"{pre}.resConfUnit2.conv1"),
+                     "conv2": _conv(sd, f"{pre}.resConfUnit2.conv2")},
+            "out": _conv(sd, f"{pre}.out_conv"),
+        }
+
+    return {
+        "dino": convert_dino_vit(_subdict(sd, "dino_model.")),
+        "projects": [_conv(sd, f"projects.{i}") for i in range(4)],
+        "resize0": _conv(sd, "resize_layers.0"),
+        "resize1": _conv(sd, "resize_layers.1"),
+        "resize3": _conv(sd, "resize_layers.3"),
+        "layer_rn": [_conv(sd, f"layer_rn.{i}", bias=False) for i in range(4)],
+        "refine": [fusion(f"refinenet.{i}") for i in range(4)],
+        "output_conv": _conv(sd, "output_conv"),
+    }
+
+
+def _mlp_seq(sd: StateDict, prefix: str, indices) -> list:
+    return [_lin(sd, f"{prefix}.{i}") for i in indices]
+
+
+def convert_gs_generator_linear(sd: StateDict) -> dict:
+    return {
+        "features": _mlp_seq(sd, "feature_layers", (0, 2, 4, 6)),
+        "color": _mlp_seq(sd, "color_layers", (0, 2)),
+        "opacity": _mlp_seq(sd, "opacity_layers", (0, 2)),
+        "scale": _mlp_seq(sd, "scale_layers", (0, 2)),
+        "rotation": _mlp_seq(sd, "rotation_layers", (0, 2)),
+    }
+
+
+def convert_gs_generator_conv(sd: StateDict) -> dict:
+    return {
+        "conv1": _conv(sd, "gaussian_conv.0"),
+        "conv2": _conv(sd, "gaussian_conv.2"),
+        "conv3": _conv(sd, "gaussian_conv.4"),
+        "conv4": _conv(sd, "gaussian_conv.6"),
+    }
+
+
+def convert_style_unet(sd: StateDict, log_size: int = 9) -> dict:
+    """StyleUNet + StyleGAN2GeneratorCSFT (style_unet.py:13-218)."""
+    n_up = log_size - 2
+
+    def res_block(pre):
+        return {"conv1": _conv(sd, f"{pre}.conv1"),
+                "conv2": _conv(sd, f"{pre}.conv2"),
+                "skip": _conv(sd, f"{pre}.skip", bias=False)}
+
+    def modconv(pre):
+        return {"modulation": _lin(sd, f"{pre}.modulation"),
+                "weight": sd[f"{pre}.weight"]}
+
+    def style_conv(pre):
+        return {"mod": modconv(f"{pre}.modulated_conv"),
+                "noise_weight": sd[f"{pre}.weight"].reshape(()),
+                "bias": sd[f"{pre}.bias"]}
+
+    def to_rgb(pre):
+        return {"mod": modconv(f"{pre}.modulated_conv"),
+                "bias": sd[f"{pre}.bias"]}
+
+    gan = {
+        "style_mlp": [_lin(sd, f"stylegan_decoder.style_mlp.{1 + 2 * i}")
+                      for i in range(8)],
+        "constant_input": sd["stylegan_decoder.constant_input.weight"],
+        "conv1": style_conv("stylegan_decoder.style_conv1"),
+        "to_rgb1": to_rgb("stylegan_decoder.to_rgb1"),
+        "convs": [style_conv(f"stylegan_decoder.style_convs.{i}")
+                  for i in range(2 * n_up)],
+        "to_rgbs": [to_rgb(f"stylegan_decoder.to_rgbs.{i}") for i in range(n_up)],
+        "noises": [sd[f"stylegan_decoder.noises.noise{i}"]
+                   for i in range(2 * n_up + 1)],
+    }
+    return {
+        "first": _conv(sd, "conv_body_first"),
+        "down": [res_block(f"conv_body_down.{i}") for i in range(n_up)],
+        "final_conv": _conv(sd, "final_conv"),
+        "up": [res_block(f"conv_body_up.{i}") for i in range(n_up)],
+        "to_rgb": [_conv(sd, f"toRGB.{i}") for i in range(n_up)],
+        "cond_scale": [{"c1": _conv(sd, f"condition_scale.{i}.0"),
+                        "c2": _conv(sd, f"condition_scale.{i}.2")} for i in range(n_up)],
+        "cond_shift": [{"c1": _conv(sd, f"condition_shift.{i}.0"),
+                        "c2": _conv(sd, f"condition_shift.{i}.2")} for i in range(n_up)],
+        "final_linear": _lin(sd, "final_linear"),
+        "gan": gan,
+    }
+
+
+def convert_gagavatar(sd: StateDict) -> dict:
+    """Full GAGAvatar.pt 'model' state dict -> GAGAvatar params."""
+    return {
+        "base_model": convert_dino_dpt(_subdict(sd, "base_model.")),
+        "head_base": sd["head_base"],
+        "gs_generator_g": convert_gs_generator_linear(_subdict(sd, "gs_generator_g.")),
+        "gs_generator_l0": convert_gs_generator_conv(_subdict(sd, "gs_generator_l0.")),
+        "gs_generator_l1": convert_gs_generator_conv(_subdict(sd, "gs_generator_l1.")),
+        "upsampler": convert_style_unet(_subdict(sd, "upsampler.")),
+    }

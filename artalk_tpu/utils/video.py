@@ -113,3 +113,71 @@ def read_video_npz(path: str):
     """Read the fallback .npz container."""
     with np.load(path) as z:
         return z["frames"], float(z["fps"]), z["audio"], int(z["sample_rate"])
+
+
+# ---------------------------------------------------------------------------
+# Readers (ports of app/utils_videos.py:62-128, gated on PyAV)
+# ---------------------------------------------------------------------------
+
+
+def _require_av():
+    try:
+        import av
+        return av
+    except ImportError as e:
+        raise RuntimeError("video reading requires PyAV (not installed)") from e
+
+
+def read_video_frames(video_path: str):
+    """Yield (H, W, 3) uint8 RGB frames."""
+    av = _require_av()
+    container = av.open(video_path)
+    for frame in container.decode(video=0):
+        yield frame.to_ndarray(format="rgb24")
+
+
+def get_video_info(video_path: str) -> dict:
+    av = _require_av()
+    info = {}
+    container = av.open(video_path)
+    vs = next((s for s in container.streams if s.type == "video"), None)
+    info["video"] = None if vs is None else {
+        "width": vs.width, "height": vs.height,
+        "frame_rate": float(vs.average_rate), "num_frames": vs.frames,
+    }
+    astream = next((s for s in container.streams if s.type == "audio"), None)
+    info["audio"] = None if astream is None else {
+        "channels": astream.channels, "sample_rate": astream.rate,
+        "duration": astream.duration,
+    }
+    return info
+
+
+def read_all_video_frames(video_path: str):
+    """-> (uint8 (T, H, W, 3), fps)."""
+    av = _require_av()
+    container = av.open(video_path)
+    vs = next((s for s in container.streams if s.type == "video"), None)
+    if vs is None:
+        return np.zeros((0,), np.uint8), 0.0
+    frames = [f.to_ndarray(format="rgb24")
+              for f in container.decode(video=0) if f.pts is not None]
+    return np.stack(frames), float(vs.average_rate)
+
+
+def read_audio_samples(video_path: str, stereo: bool = False):
+    """-> (float32 samples in [-1, 1], sample_rate)."""
+    av = _require_av()
+    container = av.open(video_path)
+    astream = next((s for s in container.streams if s.type == "audio"), None)
+    if astream is None:
+        return None, None
+    chunks = [f.to_ndarray() for f in container.decode(audio=0)]
+    audio = np.concatenate(chunks, axis=-1)
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    elif audio.dtype == np.int32:
+        audio = audio.astype(np.float32) / 2147483648.0
+    if not stereo:
+        audio = audio.mean(axis=0)
+    return audio, astream.rate

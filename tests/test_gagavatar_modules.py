@@ -1,0 +1,154 @@
+"""GAGAvatar sub-module tests: DINOv2 parity vs HF, generators, StyleUNet."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from artalk_tpu.models.gagavatar.dino import DinoConfig, DinoViT
+from artalk_tpu.models.gagavatar.generators import (
+    ConvGSGenerator, LinearGSGenerator, build_points_planes, harmonic_embedding,
+    transform_emoca_to_p3d)
+from artalk_tpu.models.gagavatar.style_unet import StyleUNet
+
+SMALL_DINO = DinoConfig(patch_size=14, hidden_size=64, depth=2, num_heads=4,
+                        image_size=56)
+
+
+def _hf_dinov2(cfg: DinoConfig):
+    from transformers import Dinov2Config, Dinov2Model
+
+    hf_cfg = Dinov2Config(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.depth,
+        num_attention_heads=cfg.num_heads, mlp_ratio=4,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        layerscale_value=1.0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0,
+    )
+    return Dinov2Model(hf_cfg).eval()
+
+
+def _convert_hf_dino(model, cfg: DinoConfig):
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    blocks = []
+    for i in range(cfg.depth):
+        pre = f"encoder.layer.{i}"
+        qw = sd[f"{pre}.attention.attention.query.weight"]
+        kw = sd[f"{pre}.attention.attention.key.weight"]
+        vw = sd[f"{pre}.attention.attention.value.weight"]
+        qb = sd[f"{pre}.attention.attention.query.bias"]
+        kb = sd[f"{pre}.attention.attention.key.bias"]
+        vb = sd[f"{pre}.attention.attention.value.bias"]
+        blocks.append({
+            "norm1": {"scale": sd[f"{pre}.norm1.weight"], "bias": sd[f"{pre}.norm1.bias"]},
+            "qkv": {"w": np.concatenate([qw, kw, vw], 0).T.copy(),
+                    "b": np.concatenate([qb, kb, vb], 0)},
+            "proj": {"w": sd[f"{pre}.attention.output.dense.weight"].T.copy(),
+                     "b": sd[f"{pre}.attention.output.dense.bias"]},
+            "ls1": sd[f"{pre}.layer_scale1.lambda1"],
+            "norm2": {"scale": sd[f"{pre}.norm2.weight"], "bias": sd[f"{pre}.norm2.bias"]},
+            "fc1": {"w": sd[f"{pre}.mlp.fc1.weight"].T.copy(),
+                    "b": sd[f"{pre}.mlp.fc1.bias"]},
+            "fc2": {"w": sd[f"{pre}.mlp.fc2.weight"].T.copy(),
+                    "b": sd[f"{pre}.mlp.fc2.bias"]},
+            "ls2": sd[f"{pre}.layer_scale2.lambda1"],
+        })
+    return {
+        "patch_embed": {"w": sd["embeddings.patch_embeddings.projection.weight"],
+                        "b": sd["embeddings.patch_embeddings.projection.bias"]},
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "blocks": jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *blocks),
+        "norm": {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]},
+    }
+
+
+def test_dino_vit_matches_hf(rng):
+    torch.manual_seed(0)
+    hf = _hf_dinov2(SMALL_DINO)
+    vit = DinoViT(SMALL_DINO)
+    params = _convert_hf_dino(hf, SMALL_DINO)
+    images = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(images)).last_hidden_state.numpy()
+    # HF last_hidden_state = final-norm applied, cls included; ours strips cls
+    got = np.asarray(vit.intermediate_layers(params, jnp.asarray(images), n=1)[-1])
+    np.testing.assert_allclose(got, ref[:, 1:], atol=3e-5)
+
+
+def test_harmonic_embedding_matches_pytorch3d_layout(rng):
+    """Coordinate-major sin/cos + appended input, matching pytorch3d's
+    HarmonicEmbedding (used at GAGAvatar/models.py:25,70)."""
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    out = np.asarray(harmonic_embedding(jnp.asarray(x), n_harmonic=4))
+    assert out.shape == (2, 4 * 2 * 3 + 3)
+    freqs = 2.0 ** np.arange(4)
+    expected_sin = np.sin((x[..., :, None] * freqs).reshape(2, -1))
+    np.testing.assert_allclose(out[:, :12], expected_sin, atol=1e-6)
+    np.testing.assert_allclose(out[:, 24:], x, atol=1e-6)
+
+
+def test_linear_gs_generator_shapes(rng):
+    gen = LinearGSGenerator(in_dim=64, dir_dim=27)
+    params = gen.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(rng.standard_normal((1, 10, 64)).astype(np.float32))
+    direnc = jnp.asarray(rng.standard_normal((1, 27)).astype(np.float32))
+    out = gen(params, feats, direnc)
+    assert out["colors"].shape == (1, 10, 32)
+    assert out["opacities"].shape == (1, 10, 1)
+    assert out["scales"].shape == (1, 10, 3)
+    assert out["rotations"].shape == (1, 10, 4)
+    o = np.asarray(out["opacities"])
+    s = np.asarray(out["scales"])
+    r = np.asarray(out["rotations"])
+    assert (0 <= o).all() and (o <= 1).all()
+    assert (0 <= s).all() and (s <= 0.05).all()
+    np.testing.assert_allclose(np.linalg.norm(r, axis=-1), 1.0, atol=1e-5)
+
+
+def test_conv_gs_generator_shapes(rng):
+    gen = ConvGSGenerator(in_dim=16, dir_dim=27)
+    params = gen.init(jax.random.PRNGKey(0))
+    feats = jnp.asarray(rng.standard_normal((1, 16, 8, 8)).astype(np.float32))
+    direnc = jnp.asarray(rng.standard_normal((1, 27)).astype(np.float32))
+    out = gen(params, feats, direnc)
+    for key, ch in [("colors", 32), ("opacities", 1), ("scales", 3),
+                    ("rotations", 4), ("positions", 1)]:
+        assert out[key].shape == (1, 64, ch), key
+
+
+def test_build_points_planes_geometry():
+    """Plane points lie at the camera distance along the rays; identity-ish
+    transform gives a centered plane."""
+    transform = np.array([[-1, 0, 0, 0], [0, 1, 0, 0], [0, 0, -1, 5000.0 / 512]],
+                         np.float32)
+    planes = build_points_planes(8, transform)
+    assert planes["plane_points"].shape == (64, 3)
+    assert planes["plane_dirs"].shape == (3,)
+    np.testing.assert_allclose(planes["plane_dirs"], [0, 0, -1], atol=1e-6)
+    # central ray point sits near the origin plane at distance |origin . dir|
+    center = planes["plane_points"].reshape(8, 8, 3)
+    assert abs(center[:, :, 2].mean()) < 1e-3
+
+
+def test_transform_emoca_to_p3d_identity():
+    rot = jnp.zeros((1, 3))
+    t = np.asarray(transform_emoca_to_p3d(rot))
+    assert t.shape == (1, 3, 4)
+    # zero rotation -> just the axis flip diag(-1, 1, -1), inverted = itself
+    np.testing.assert_allclose(t[0, :3, :3], np.diag([-1.0, 1.0, -1.0]), atol=1e-6)
+    np.testing.assert_allclose(t[0, :, 3], [0, 0, 5000.0 / 512], atol=1e-6)
+
+
+def test_style_unet_small(rng):
+    """End-to-end StyleUNet at 64px: shape, range, determinism."""
+    unet = StyleUNet(in_size=64, out_size=64, in_dim=8, out_dim=3)
+    params = unet.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 64)).astype(np.float32))
+    out = unet(params, x)
+    assert out.shape == (1, 3, 64, 64)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and (0 <= o).all() and (o <= 1).all()
+    np.testing.assert_array_equal(o, np.asarray(unet(params, x)))

@@ -1,0 +1,91 @@
+"""Gaussian splatting: Pallas kernel (interpret) vs exact compositing oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from artalk_tpu.ops.gsplat import (
+    build_cov3d, project_gaussians, quat_to_rotmat, rasterize_gaussians,
+    rasterize_gaussians_reference)
+
+CAM = np.array([[-1, 0, 0, 0], [0, 1, 0, 0], [0, 0, -1, 5000.0 / 512]], np.float32)
+
+
+def _scene(rng, n=400, spread=0.08):
+    xyz = rng.normal(0, spread, (n, 3)).astype(np.float32)
+    colors = rng.random((n, 32)).astype(np.float32)
+    opac = rng.random((n, 1)).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.03 + 0.005).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return [jnp.asarray(a) for a in (xyz, colors, opac, scales, q, CAM)]
+
+
+def test_quat_to_rotmat_orthonormal(rng):
+    q = rng.normal(size=(16, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    r = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    eye = np.einsum("bij,bkj->bik", r, r)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+    # identity quaternion (w=1) -> identity matrix
+    ident = np.asarray(quat_to_rotmat(jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))))
+    np.testing.assert_allclose(ident[0], np.eye(3), atol=1e-6)
+
+
+def test_cov3d_isotropic_for_uniform_scale(rng):
+    q = rng.normal(size=(4, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s = np.full((4, 3), 0.02, np.float32)
+    cov = np.asarray(build_cov3d(jnp.asarray(s), jnp.asarray(q)))
+    np.testing.assert_allclose(
+        cov, np.broadcast_to(np.eye(3) * 4e-4, cov.shape), atol=1e-7)
+
+
+def test_projection_depth_and_center():
+    # a gaussian at the world origin projects to the image center
+    xyz = jnp.asarray(np.zeros((1, 3), np.float32))
+    scales = jnp.asarray(np.full((1, 3), 0.01, np.float32))
+    q = jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))
+    mean2d, depth, conic, radius, in_front = project_gaussians(
+        xyz, scales, q, jnp.asarray(CAM), 12.0, 512)
+    np.testing.assert_allclose(np.asarray(mean2d)[0], [256.0, 256.0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(depth)[0], 5000.0 / 512, atol=1e-5)
+    assert bool(np.asarray(in_front)[0])
+    assert float(np.asarray(radius)[0]) >= 2.0  # low-pass floor
+
+
+def test_kernel_matches_oracle(rng):
+    args = _scene(rng)
+    ref = np.asarray(rasterize_gaussians_reference(*args, focal=12.0, size=128))
+    got = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128, interpret=True))
+    assert (ref[0] > 0.01).mean() > 0.02  # scene hits pixels
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_kernel_empty_scene():
+    xyz = jnp.asarray(np.array([[0.0, 0.0, 100.0]], np.float32))  # behind camera
+    colors = jnp.asarray(np.ones((1, 32), np.float32))
+    opac = jnp.asarray(np.ones((1, 1), np.float32))
+    scales = jnp.asarray(np.full((1, 3), 0.01, np.float32))
+    q = jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))
+    out = np.asarray(rasterize_gaussians(xyz, colors, opac, scales, q,
+                                         jnp.asarray(CAM), focal=12.0, size=128,
+                                         interpret=True))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_front_to_back_order(rng):
+    """An opaque near gaussian must fully hide a far one at the same spot."""
+    xyz = jnp.asarray(np.array([[0, 0, 0.5], [0, 0, -0.5]], np.float32))
+    colors = jnp.asarray(np.stack([np.ones(32), np.zeros(32)]).astype(np.float32))
+    opac = jnp.asarray(np.array([[0.999], [0.999]], np.float32))
+    scales = jnp.asarray(np.full((2, 3), 0.02, np.float32))
+    q = jnp.asarray(np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (2, 1)))
+    out = np.asarray(rasterize_gaussians(xyz, colors, opac, scales, q,
+                                         jnp.asarray(CAM), focal=12.0, size=128,
+                                         interpret=True))
+    # camera looks along -z from z=+9.77: z=+0.5 is nearer; its color is 1
+    center = out[:, 64, 64]
+    assert center.min() > 0.9, center[:4]
