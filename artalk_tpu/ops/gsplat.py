@@ -226,11 +226,9 @@ def _build_instances(mean2d, depth, conic, radius, opac, colors, size: int):
     # zero out padding instances so they contribute nothing
     inst_valid = jnp.arange(padded) < total
     geo = jnp.where(inst_valid[:, None], geo, 0.0)
-    # pack [geo (6->8 padded) | colors (32)] into one (40, P) array so each
-    # chunk needs a single DMA
+    # pad feature rows 6 -> 8 for sublane alignment of the DMA slices
     geo8 = jnp.concatenate([geo, jnp.zeros_like(geo[:, :2])], axis=-1)
-    packed = jnp.concatenate([geo8, cols], axis=-1).T      # (40, P)
-    return packed, offsets
+    return geo8.T, cols.T, offsets
 
 
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
@@ -246,8 +244,8 @@ def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _splat_kernel(offsets_ref, packed_ref, out_ref, packed_vmem, sems,
-                  *, tiles_x: int):
+def _splat_kernel(offsets_ref, geo_ref, cols_ref, out_ref,
+                  geo_vmem, cols_vmem, sems, *, tiles_x: int):
     tile = pl.program_id(0)
     ty = tile // tiles_x
     tx = tile % tiles_x
@@ -265,17 +263,26 @@ def _splat_kernel(offsets_ref, packed_ref, out_ref, packed_vmem, sems,
 
     npix = GTILE_H * GTILE_W
 
-    def dma(c, slot):
+    def dmas(c, slot):
         base = c * GCHUNK
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(base, GCHUNK)], packed_vmem.at[slot],
-            sems.at[slot])
+        return (
+            pltpu.make_async_copy(
+                geo_ref.at[:, pl.ds(base, GCHUNK)], geo_vmem.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                cols_ref.at[:, pl.ds(base, GCHUNK)], cols_vmem.at[slot],
+                sems.at[slot, 1]),
+        )
 
     def start_fetch(c, slot):
-        dma(c, slot).start()
+        g, k = dmas(c, slot)
+        g.start()
+        k.start()
 
     def wait_fetch(c, slot):
-        dma(c, slot).wait()
+        g, k = dmas(c, slot)
+        g.wait()
+        k.wait()
 
     @pl.when(first_chunk < last_chunk)
     def _():
@@ -291,7 +298,7 @@ def _splat_kernel(offsets_ref, packed_ref, out_ref, packed_vmem, sems,
 
         wait_fetch(c, slot)
         base = c * GCHUNK
-        geo = packed_vmem[slot]                             # (40, C)
+        geo = geo_vmem[slot]                                # (8, C)
         mx = geo[0:1, :]
         my = geo[1:2, :]
         ca = geo[2:3, :]
@@ -311,9 +318,9 @@ def _splat_kernel(offsets_ref, packed_ref, out_ref, packed_vmem, sems,
         cum = _cumprod_lanes(one_minus)
         excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1)
         weight = alpha * excl * t                           # (P, C)
-        # color rows of the packed chunk: (32, C); contract the chunk axis
+        # cols_vmem[slot] is (32, C): contract the chunk axis of both
         color = color + jax.lax.dot_general(
-            weight, geo[8:, :],
+            weight, cols_vmem[slot],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         t = t * cum[:, -1:]
@@ -350,8 +357,8 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
     mean2d, depth, conic, radius, in_front = project_gaussians(
         xyz, scales, rotations, cam_matrix, focal, size)
     opac = jnp.where(in_front, opacities[..., 0], 0.0)
-    packed, offsets = _build_instances(mean2d, depth, conic, radius, opac,
-                                       colors, size)
+    geo, cols, offsets = _build_instances(mean2d, depth, conic, radius, opac,
+                                          colors, size)
     tiles_x = size // GTILE_W
     tiles_y = size // GTILE_H
     num_tiles = tiles_x * tiles_y
@@ -360,15 +367,17 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # packed (40, P) stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # geo (8, P) stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),   # cols (32, P)
         ],
         out_specs=pl.BlockSpec(
             (1, GTILE_H * GTILE_W, CHANNELS),
             lambda i, *_: (i, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8 + CHANNELS, GCHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, GCHUNK), jnp.float32),
+            pltpu.VMEM((2, CHANNELS, GCHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -377,7 +386,7 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
         out_shape=jax.ShapeDtypeStruct((num_tiles, GTILE_H * GTILE_W, CHANNELS),
                                        jnp.float32),
         interpret=interpret,
-    )(offsets, packed)
+    )(offsets, geo, cols)
     # (tiles, npix, ch) -> (ch, H, W)
     out = out.reshape(tiles_y, tiles_x, GTILE_H, GTILE_W, CHANNELS)
     return out.transpose(4, 0, 2, 1, 3).reshape(CHANNELS, size, size)
