@@ -69,9 +69,9 @@ class StyleUNet:
         self.gan = StyleGAN2GeneratorCSFT(out_size, out_dim, num_style_feat, num_mlp)
 
     def init(self, key: jax.Array) -> nn.Params:
-        keys = jax.random.split(key, 64)
+        keys = jax.random.split(key, 128)
         ch = UNET_CHANNELS
-        k = iter(range(64))
+        k = iter(range(128))
 
         def res_block(cin, cout):
             return {
