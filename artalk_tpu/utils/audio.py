@@ -35,13 +35,17 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int = TARGET_SR) -> np.ndarray:
-    """Polyphase resample along the last axis."""
+    """Polyphase resample along the last axis (native C++ kernel when built,
+    scipy otherwise -- see artalk_tpu.runtime)."""
     if orig_sr == target_sr:
         return audio
-    from scipy.signal import resample_poly
+    from ..runtime import media
 
     g = math.gcd(orig_sr, target_sr)
-    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+    up, down = target_sr // g, orig_sr // g
+    flat = audio.reshape(-1, audio.shape[-1])
+    out = np.stack([media.resample_poly(row, up, down) for row in flat])
+    return out.reshape(audio.shape[:-1] + (out.shape[-1],)).astype(np.float32)
 
 
 def load_audio_16k_mono(path: str) -> np.ndarray:

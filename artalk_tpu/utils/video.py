@@ -6,8 +6,9 @@ stays host-side here too, behind one function with graceful degradation:
 
 1. PyAV (if installed) -- H.264 + AAC, same settings as the reference.
 2. ffmpeg CLI (if on PATH) -- same codecs via a rawvideo pipe.
-3. Fallback: .npz of frames + audio (lossless, always available) so pipelines
-   never fail in minimal environments like this build image.
+3. Native C++ Y4M writer (artalk_tpu.runtime) -- codec-free YUV4MPEG2 playable
+   by mpv/ffplay/VLC, audio as a sibling .wav.
+4. Fallback: .npz of frames + audio (lossless, always available).
 """
 
 from __future__ import annotations
@@ -42,6 +43,10 @@ def write_video(frames: np.ndarray, path: str, fps: float = 25.0,
     if shutil.which("ffmpeg"):
         _write_ffmpeg(frames, path, fps, audio, sample_rate)
         return path
+    try:
+        return _write_y4m_wav(frames, path, fps, audio, sample_rate)
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        print(f"[artalk_tpu] y4m writer unavailable ({e}); falling back to npz")
     alt = os.path.splitext(path)[0] + ".npz"
     np.savez_compressed(alt, frames=frames, fps=fps,
                         audio=audio if audio is not None else np.zeros(0, np.float32),
@@ -107,6 +112,25 @@ def _write_ffmpeg(frames, path, fps, audio, sample_rate):
         os.remove(audio_file)
     if proc.returncode != 0:
         raise RuntimeError(f"ffmpeg failed with code {proc.returncode}")
+
+
+def _write_y4m_wav(frames, path, fps, audio, sample_rate) -> str:
+    """Native Y4M video + sibling .wav audio (no codecs required)."""
+    import wave
+
+    from ..runtime import media
+
+    out = os.path.splitext(path)[0] + ".y4m"
+    media.write_y4m(out, frames, fps=fps)
+    if audio is not None:
+        wav_path = os.path.splitext(path)[0] + ".wav"
+        pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+        with wave.open(wav_path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sample_rate)
+            f.writeframes((pcm * 32767.0).astype(np.int16).tobytes())
+    return out
 
 
 def read_video_npz(path: str):
