@@ -134,6 +134,9 @@ class ModelConfig:
     wav2vec: Wav2VecConfig = dataclasses.field(default_factory=Wav2VecConfig)
     fps: float = 25.0
     sample_rate: int = 16000
+    # run the wav2vec2 encoder in bfloat16 (MXU-native; ~2x faster audio
+    # conditioning). Off by default: f32 keeps code bits reference-exact.
+    bf16_audio: bool = False
 
     @property
     def window_audio_samples(self) -> int:

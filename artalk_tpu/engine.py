@@ -69,7 +69,7 @@ class ARTAvatarInferEngine:
         self.flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=1.0)
         self.mesh_renderer = MeshRenderer(
             image_size=image_size, faces=flame_data["faces"], scale=1.0,
-            interpret=interpret)
+            interpret=interpret, template_verts=flame_data["v_template"])
 
         self.output_dir = output_dir or "render_results/ARTAvatar_tpu"
         os.makedirs(self.output_dir, exist_ok=True)

@@ -208,8 +208,19 @@ class BitwiseARModel:
 
     def audio_condition(self, params: nn.Params, audio_chunk: jnp.ndarray) -> jnp.ndarray:
         """One 4 s audio chunk -> (B, 181, audio_dim) multi-scale condition
-        (models.py:93-95): wav2vec features area-resized to each scale."""
-        feat = self.audio_encoder(params["audio_encoder"], audio_chunk)
+        (models.py:93-95): wav2vec features area-resized to each scale.
+
+        With ``cfg.bf16_audio`` the 300M-param encoder runs in bfloat16
+        (weights cast at trace time -- XLA folds the casts into constants
+        under jit) with f32 norms/softmax; conditioning returns to f32.
+        """
+        enc_params = params["audio_encoder"]
+        if self.cfg.bf16_audio:
+            enc_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, enc_params)
+            audio_chunk = audio_chunk.astype(jnp.bfloat16)
+        feat = self.audio_encoder(enc_params, audio_chunk).astype(jnp.float32)
         return jnp.concatenate([resize_area(feat, pn) for pn in self.patch_nums], axis=1)
 
     def decode_window(self, params: nn.Params, audio_cond: jnp.ndarray,

@@ -84,9 +84,11 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 def layer_norm(x: jnp.ndarray, eps: float = 1e-5,
                scale: Optional[jnp.ndarray] = None,
                bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # statistics always in f32 (stable under bf16 activations)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if scale is not None:
         y = y * scale
     if bias is not None:

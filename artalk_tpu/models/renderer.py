@@ -38,11 +38,19 @@ class MeshRenderer:
     """Batched mesh renderer with the reference's fixed-camera setup."""
 
     def __init__(self, image_size: int = 512, faces: np.ndarray | None = None,
-                 scale: float = 1.0, interpret: bool = False):
+                 scale: float = 1.0, interpret: bool = False,
+                 template_verts: np.ndarray | None = None):
         assert faces is not None, "faces required"
         self.image_size = int(image_size)
         self.scale = scale
-        self.faces = jnp.asarray(np.asarray(faces, np.int32))
+        faces = np.asarray(faces, np.int32)
+        if template_verts is not None:
+            # spatial face ordering (by template centroid y) makes the Pallas
+            # rasterizer's chunk-bbox culling effective -- ~10x fewer
+            # tile-chunk visits than arbitrary (e.g. ConvexHull) ordering
+            cy = np.asarray(template_verts)[faces].mean(axis=1)[:, 1]
+            faces = faces[np.argsort(cy)]
+        self.faces = jnp.asarray(faces)
         self.interpret = interpret
         self._render_batch = jax.jit(self._render_batch_impl)
 
@@ -80,18 +88,9 @@ class MeshRenderer:
 
     # -- shading -------------------------------------------------------------
 
-    def _shade(self, verts: jnp.ndarray, normals: jnp.ndarray,
-               fid: jnp.ndarray, bary: jnp.ndarray) -> jnp.ndarray:
-        """Phong-shade one frame. fid (H, W) int32, bary (H, W, 3)."""
-        f = self.faces
-        fid_safe = jnp.maximum(fid, 0)
-        tri = f[fid_safe]                     # (H, W, 3)
-        pv = verts[tri]                       # (H, W, 3 verts, 3)
-        pn = normals[tri]
-        pos = jnp.einsum("hwk,hwkc->hwc", bary, pv)
-        nrm = jnp.einsum("hwk,hwkc->hwc", bary, pn)
-        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-
+    def _shade_points(self, pos: jnp.ndarray, nrm: jnp.ndarray,
+                      fid: jnp.ndarray) -> jnp.ndarray:
+        """Phong shading of interpolated surface points/normals (H, W, 3)."""
         light = jnp.asarray(LIGHT_LOC)
         cam = jnp.asarray([0.0, 0.0, 2.0 * self.scale])  # camera center in world
         l_dir = light - pos
@@ -110,37 +109,48 @@ class MeshRenderer:
         white = jnp.ones(3)
         return jnp.where(covered, jnp.clip(color, 0.0, 1.0), white)
 
-    def _barycentrics(self, verts_screen: jnp.ndarray, fid: jnp.ndarray
-                      ) -> jnp.ndarray:
-        """Perspective-corrected barycentrics for winning faces (H, W, 3)."""
-        h = w = self.image_size
-        a0, a1, _ = face_planes(verts_screen, self.faces)
-        fid_safe = jnp.maximum(fid, 0)
-        c0 = a0[fid_safe]                       # (H, W, 3)
-        c1 = a1[fid_safe]
-        ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-        xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-        px, py = jnp.meshgrid(xs, ys)
-        p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # (H, W, 3)
-        w0 = jnp.sum(c0 * p, axis=-1)
-        w1 = jnp.sum(c1 * p, axis=-1)
-        w2 = 1.0 - w0 - w1
-        bary = jnp.stack([w0, w1, w2], axis=-1)
-        # perspective correction: weight by 1/z of each vertex
-        tri = self.faces[fid_safe]
-        zs = verts_screen[tri][..., 2]          # (H, W, 3)
-        bw = bary / jnp.maximum(zs, 1e-12)
-        return bw / jnp.maximum(jnp.sum(bw, axis=-1, keepdims=True), 1e-12)
-
     # -- public API ----------------------------------------------------------
 
     def _render_one(self, verts: jnp.ndarray) -> jnp.ndarray:
+        """One frame: rasterize, then shade with a single packed per-face
+        gather.
+
+        The naive path (gather faces -> gather verts -> gather normals ->
+        gather plane coeffs, 5 dependent 512^2-sized gathers) dominated the
+        frame time; instead all per-face data -- barycentric planes, vertex
+        depths, positions, normals -- is packed into one (F, 28) table so
+        each pixel does exactly one gather, and the rest is elementwise.
+        """
         vs = self.camera_transform(verts)
         zbuf, fid = rasterize(vs, self.faces, height=self.image_size,
                               width=self.image_size, interpret=self.interpret)
-        bary = self._barycentrics(vs, fid)
+        f = self.faces
         normals = self.vertex_normals(verts[None])[0]
-        return self._shade(verts, normals, fid, bary)
+        a0, a1, _ = face_planes(vs, f)
+        table = jnp.concatenate([
+            a0, a1,                                        # 6: bary planes
+            vs[f[:, 0], 2:3], vs[f[:, 1], 2:3], vs[f[:, 2], 2:3],  # 3: depths
+            verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]],        # 9: positions
+            normals[f[:, 0]], normals[f[:, 1]], normals[f[:, 2]],  # 9: normals
+        ], axis=-1)                                        # (F, 27)
+
+        fid_safe = jnp.maximum(fid, 0)
+        d = table[fid_safe]                                # (H, W, 27): ONE gather
+        h = w = self.image_size
+        ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+        xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+        px, py = jnp.meshgrid(xs, ys)
+        w0 = d[..., 0] * px + d[..., 1] * py + d[..., 2]
+        w1 = d[..., 3] * px + d[..., 4] * py + d[..., 5]
+        w2 = 1.0 - w0 - w1
+        bary = jnp.stack([w0, w1, w2], axis=-1)
+        zs = d[..., 6:9]
+        bw = bary / jnp.maximum(zs, 1e-12)                 # perspective correction
+        bary = bw / jnp.maximum(jnp.sum(bw, axis=-1, keepdims=True), 1e-12)
+        pos = jnp.einsum("hwk,hwkc->hwc", bary, d[..., 9:18].reshape(h, w, 3, 3))
+        nrm = jnp.einsum("hwk,hwkc->hwc", bary, d[..., 18:27].reshape(h, w, 3, 3))
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        return self._shade_points(pos, nrm, fid)
 
     def _render_batch_impl(self, verts: jnp.ndarray) -> jnp.ndarray:
         return jax.vmap(self._render_one)(verts)
