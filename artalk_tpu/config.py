@@ -132,11 +132,18 @@ class ModelConfig:
     ar: ARConfig = dataclasses.field(default_factory=ARConfig)
     vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
     wav2vec: Wav2VecConfig = dataclasses.field(default_factory=Wav2VecConfig)
+    mimi: "object" = None  # MimiEncoderConfig; lazy default to avoid import cycle
     fps: float = 25.0
     sample_rate: int = 16000
     # run the wav2vec2 encoder in bfloat16 (MXU-native; ~2x faster audio
     # conditioning). Off by default: f32 keeps code bits reference-exact.
     bf16_audio: bool = False
+
+    def __post_init__(self):
+        if self.mimi is None:
+            from .models.mimi import MimiEncoderConfig
+
+            object.__setattr__(self, "mimi", MimiEncoderConfig())
 
     @property
     def window_audio_samples(self) -> int:

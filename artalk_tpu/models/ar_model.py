@@ -52,10 +52,14 @@ class BitwiseARModel:
         self.vae = BitwiseVAE(cfg.vae)
         self.style_encoder = StyleEncoder(motion_dim=cfg.vae.motion_dim,
                                           feature_dim=cfg.ar.style_dim)
-        if cfg.ar.audio_encoder != "wav2vec":
-            raise NotImplementedError(
-                f"audio encoder {cfg.ar.audio_encoder!r} not implemented (wav2vec only)")
-        self.audio_encoder = Wav2VecEncoder(cfg.wav2vec)
+        if cfg.ar.audio_encoder == "wav2vec":
+            self.audio_encoder = Wav2VecEncoder(cfg.wav2vec)
+        elif cfg.ar.audio_encoder == "mimi":
+            from .mimi import MimiEncoder
+
+            self.audio_encoder = MimiEncoder(cfg.mimi)
+        else:
+            raise ValueError(f"unknown audio encoder {cfg.ar.audio_encoder!r}")
         self.patch_nums = tuple(cfg.vae.patch_nums)
         self.total_tokens = sum(self.patch_nums)       # 181
         self.offsets = [sum(self.patch_nums[:i]) for i in range(len(self.patch_nums))]
@@ -215,7 +219,7 @@ class BitwiseARModel:
         under jit) with f32 norms/softmax; conditioning returns to f32.
         """
         enc_params = params["audio_encoder"]
-        if self.cfg.bf16_audio:
+        if self.cfg.bf16_audio and self.cfg.ar.audio_encoder == "wav2vec":
             enc_params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, enc_params)

@@ -369,3 +369,83 @@ def convert_gagavatar(sd: StateDict) -> dict:
         "gs_generator_l1": convert_gs_generator_conv(_subdict(sd, "gs_generator_l1.")),
         "upsampler": convert_style_unet(_subdict(sd, "upsampler.")),
     }
+
+
+# ---------------------------------------------------------------------------
+# Mimi codec encoder (HF MimiModel state dict -> MimiEncoder params)
+# ---------------------------------------------------------------------------
+
+
+def convert_mimi(sd: StateDict, num_residual_layers: int = 1,
+                 num_ratios: int = 4, num_layers: int = 8) -> dict:
+    """HF MimiModel state dict -> artalk_tpu MimiEncoder params (encode path;
+    decoder weights are ignored)."""
+
+    def conv_at(idx, bias=True):
+        p = {"w": sd[f"encoder.layers.{idx}.conv.weight"]}
+        key = f"encoder.layers.{idx}.conv.bias"
+        if bias and key in sd:
+            p["b"] = sd[key]
+        return p
+
+    blocks = []
+    idx = 1
+    for _ in range(num_ratios):
+        res = []
+        for j in range(num_residual_layers):
+            res.append({
+                "conv1": {"w": sd[f"encoder.layers.{idx}.block.1.conv.weight"],
+                          "b": sd[f"encoder.layers.{idx}.block.1.conv.bias"]},
+                "conv2": {"w": sd[f"encoder.layers.{idx}.block.3.conv.weight"],
+                          "b": sd[f"encoder.layers.{idx}.block.3.conv.bias"]},
+            })
+            idx += 1
+        idx += 1  # ELU
+        down = conv_at(idx)
+        idx += 1
+        blocks.append({"resnets": res, "down": down})
+    idx += 1  # final ELU
+    seanet = {
+        "init_conv": conv_at(0),
+        "blocks": blocks,
+        "final_conv": conv_at(idx),
+    }
+
+    layers = []
+    for i in range(num_layers):
+        pre = f"encoder_transformer.layers.{i}"
+        layers.append({
+            "q": _lin(sd, f"{pre}.self_attn.q_proj", bias=False),
+            "k": _lin(sd, f"{pre}.self_attn.k_proj", bias=False),
+            "v": _lin(sd, f"{pre}.self_attn.v_proj", bias=False),
+            "o": _lin(sd, f"{pre}.self_attn.o_proj", bias=False),
+            "norm1": _ln(sd, f"{pre}.input_layernorm"),
+            "norm2": _ln(sd, f"{pre}.post_attention_layernorm"),
+            "fc1": _lin(sd, f"{pre}.mlp.fc1", bias=False),
+            "fc2": _lin(sd, f"{pre}.mlp.fc2", bias=False),
+            "ls_attn": sd[f"{pre}.self_attn_layer_scale.scale"],
+            "ls_mlp": sd[f"{pre}.mlp_layer_scale.scale"],
+        })
+
+    def rvq(prefix):
+        n = 0
+        while f"quantizer.{prefix}.layers.{n}.codebook.embed_sum" in sd:
+            n += 1
+        return {
+            "embed_sum": np.stack([
+                sd[f"quantizer.{prefix}.layers.{q}.codebook.embed_sum"]
+                for q in range(n)]),
+            "cluster_usage": np.stack([
+                sd[f"quantizer.{prefix}.layers.{q}.codebook.cluster_usage"]
+                for q in range(n)]),
+            "input_proj": {"w": sd[f"quantizer.{prefix}.input_proj.weight"]},
+            "output_proj": {"w": sd[f"quantizer.{prefix}.output_proj.weight"]},
+        }
+
+    return {
+        "seanet": seanet,
+        "transformer": _stack(layers),
+        "downsample": {"w": sd["downsample.conv.weight"]},
+        "semantic_rvq": rvq("semantic_residual_vector_quantizer"),
+        "acoustic_rvq": rvq("acoustic_residual_vector_quantizer"),
+    }
