@@ -143,3 +143,23 @@ def test_style_conditioning_changes_output(model_and_params, rng):
     m_null = np.asarray(model.generate(params, chunks, null))
     m_styled = np.asarray(model.generate(params, chunks, styled))
     assert not np.array_equal(m_null, m_styled)
+
+
+def test_prev_ratio_two(rng):
+    """PREV_RATIO=2 (two previous windows as prefix, models.py:133) rolls the
+    prefix correctly and generates finite motion."""
+    cfg2 = ModelConfig(
+        ar=ARConfig(depth=2, num_heads=4, prev_ratio=2, embed_dim=64,
+                    style_dim=16, audio_dim=32),
+        vae=VAEConfig(motion_dim=12, code_dim=8, depth=2, num_heads=4,
+                      hidden_dim=32, patch_nums=(1, 2, 4)),
+        wav2vec=SMALL_W2V)
+    model = BitwiseARModel(cfg2)
+    assert model.prev_len == 2 * model.total_tokens
+    params = model.init(jax.random.PRNGKey(0))
+    chunks = jnp.asarray(
+        rng.standard_normal((3, 1, model.window_samples)).astype(np.float32))
+    style = model.encode_style(params, None)
+    motions = jax.jit(model.generate)(params, chunks, style)
+    assert motions.shape == (1, 3 * cfg2.vae.window, cfg2.vae.motion_dim)
+    assert np.isfinite(np.asarray(motions)).all()

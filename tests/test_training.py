@@ -84,3 +84,32 @@ def test_vae_grads_nonzero_everywhere(data):
     for side in ("encoder", "decoder"):
         g = np.asarray(grads[side]["inp"]["w"])
         assert np.abs(g).sum() > 0, side
+
+
+def test_data_pipeline_end_to_end():
+    """Dataset -> prefetch -> sharded AR train step, the full training loop."""
+    from artalk_tpu.parallel.mesh import make_mesh
+    from artalk_tpu.parallel.sharding import shard_params
+    from artalk_tpu.training.data import (MotionAudioDataset, prefetch_to_device,
+                                          synthetic_clips)
+
+    window = CFG.vae.window
+    clips = synthetic_clips(num_clips=2, frames=6 * window, motion_dim=12)
+    ds = MotionAudioDataset(clips, window=window, style_frames=10)
+    ex = ds.sample_window_pair(np.random.default_rng(0))
+    assert ex["prev_motion"].shape == (window, 12)
+    assert ex["audio"].shape == (window * 640,)
+
+    model = BitwiseARModel(CFG)
+    mesh = make_mesh(dp=4, tp=1)
+    with mesh:
+        params = shard_params(model.init(jax.random.PRNGKey(0)), mesh)
+        optimizer = make_optimizer(lr=1e-3, warmup_steps=1)
+        step = make_ar_train_step(model, optimizer, mesh=mesh, with_style=True)
+        state = init_state(params, optimizer)
+        losses = []
+        for batch in prefetch_to_device(ds.batches(batch_size=4, num_batches=4)):
+            state, metrics = step(state, batch["audio"], batch["prev_motion"],
+                                  batch["this_motion"], batch["style_motion"])
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses)) and len(losses) == 4
