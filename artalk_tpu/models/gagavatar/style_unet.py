@@ -16,7 +16,7 @@ Noise injection uses the stored per-layer noise buffers (the deterministic
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,14 @@ vmapped and transferred once.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rasterizer import BIG, face_planes, rasterize
+from ..ops.rasterizer import face_planes, rasterize
 
 # PyTorch3D default light/material constants used by the reference
 AMBIENT = 0.5

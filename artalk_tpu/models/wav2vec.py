@@ -15,7 +15,7 @@ stack yields exactly 199 frames, so downstream resizes are constant matrices.
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -7,11 +7,11 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..models.ar_model import BitwiseARModel
 from ..models.bitwise_vae import BitwiseVAE
-from ..parallel.sharding import batch_sharding, param_shardings
+from ..parallel.sharding import batch_sharding
 from .losses import ar_loss, vae_loss
 
 
