@@ -197,14 +197,23 @@ class GAGAvatar:
                               batch["t_transform"], self.params["upsampler"])
 
     def render_motion_sequence(self, avatar_id: str, motions: jnp.ndarray,
-                               flame_model) -> np.ndarray:
-        """(T, 106) motions -> uint8 (T, 512, 512, 3) frames."""
+                               flame_model, transfer_chunk: int = 25) -> np.ndarray:
+        """(T, 106) motions -> uint8 (T, 512, 512, 3) frames.
+
+        Frames accumulate on device and transfer to host in chunks (the
+        reference moves every frame with .cpu(), inference.py:76-79).
+        """
         if self._tracked is None or avatar_id not in (None, ""):
             self.set_avatar_id(avatar_id)
-        frames = []
+        frames, pending = [], []
         for t in range(motions.shape[0]):
             batch = self.build_forward_batch(motions[t : t + 1], flame_model)
-            rgb = self.forward_expression(batch)  # (1, 3, 512, 512)
-            frames.append(np.asarray(
-                jnp.clip(rgb[0].transpose(1, 2, 0) * 255.0, 0, 255).astype(jnp.uint8)))
-        return np.stack(frames)
+            rgb = self.forward_expression(batch)  # (1, 3, 512, 512), on device
+            pending.append(
+                jnp.clip(rgb[0].transpose(1, 2, 0) * 255.0, 0, 255).astype(jnp.uint8))
+            if len(pending) >= transfer_chunk:
+                frames.append(np.asarray(jnp.stack(pending)))
+                pending = []
+        if pending:
+            frames.append(np.asarray(jnp.stack(pending)))
+        return np.concatenate(frames, axis=0)

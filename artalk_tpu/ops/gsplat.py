@@ -37,7 +37,9 @@ CHANNELS = 32
 GTILE_H = 16       # pixel tile for the splat kernel
 GTILE_W = 128
 GCHUNK = 128       # gaussians per compositing step
-DUP = 9            # max tile instances per gaussian (3x3 neighborhood)
+DUP_X = 2          # tile slots per gaussian in x (128-px tiles: covers r<128)
+DUP_Y = 4          # tile slots per gaussian in y (16-px tiles: covers r<32)
+DUP = DUP_X * DUP_Y
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
 
@@ -174,14 +176,16 @@ def _build_instances(mean2d, depth, conic, radius, opac, colors, size: int):
     tiles_y = size // GTILE_H
     num_tiles = tiles_x * tiles_y
 
-    # 3x3 tile neighborhood around the center tile of each gaussian, clipped
-    # against its pixel bbox (radius); instances outside go to a trash tile.
-    cx = mean2d[:, 0] // GTILE_W
-    cy = mean2d[:, 1] // GTILE_H
-    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-                       jnp.float32)                        # (9, 2)
-    ty = cy[:, None] + offs[None, :, 0]
-    tx = cx[:, None] + offs[None, :, 1]
+    # bbox-anchored tile slots: DUP_Y x DUP_X tiles starting at the bbox's
+    # top-left tile, clipped against the pixel bbox (radius); slots outside go
+    # to a trash tile. (Anchoring at the bbox corner covers tall splats that a
+    # center-anchored neighborhood would truncate.)
+    cx0 = jnp.floor((mean2d[:, 0] - radius) / GTILE_W)
+    cy0 = jnp.floor((mean2d[:, 1] - radius) / GTILE_H)
+    offs = jnp.asarray([(dy, dx) for dy in range(DUP_Y) for dx in range(DUP_X)],
+                       jnp.float32)                        # (DUP, 2)
+    ty = cy0[:, None] + offs[None, :, 0]
+    tx = cx0[:, None] + offs[None, :, 1]
     # tile pixel bounds
     x0, x1 = tx * GTILE_W, (tx + 1) * GTILE_W
     y0, y1 = ty * GTILE_H, (ty + 1) * GTILE_H
@@ -205,7 +209,7 @@ def _build_instances(mean2d, depth, conic, radius, opac, colors, size: int):
     rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
     assert (num_tiles + 1) < (1 << (31 - rank_bits)), "key overflow"
     key = flat_tile * (1 << rank_bits) + jnp.tile(depth_rank[:, None], (1, DUP)).reshape(-1)
-    order = jnp.argsort(key)
+    order = jnp.argsort(key, stable=False)  # keys are unique (tile, rank)
     sorted_tile = flat_tile[order]
     sorted_gauss = flat_gauss[order]
 
