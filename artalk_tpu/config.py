@@ -116,6 +116,9 @@ class Wav2VecConfig:
     num_conv_pos_embedding_groups: int = 16
     do_stable_layer_norm: bool = True
     layer_norm_eps: float = 1e-5
+    # Pallas blockwise attention in the encoder (full-f32 softmax path; the
+    # encoder is frozen/inference-only in this framework so no VJP is needed)
+    use_flash_attention: bool = False
 
     def num_output_frames(self, num_samples: int) -> int:
         """Output sequence length of the conv feature extractor."""

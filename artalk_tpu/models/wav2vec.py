@@ -149,7 +149,13 @@ class Wav2VecEncoder:
             q = nn.split_heads(nn.linear(p["q"], y), num_heads)
             k = nn.split_heads(nn.linear(p["k"], y), num_heads)
             v = nn.split_heads(nn.linear(p["v"], y), num_heads)
-            attn = nn.merge_heads(nn.sdpa(q, k, v, scale=q.shape[-1] ** -0.5))
+            if cfg.use_flash_attention:
+                from ..ops.attention import flash_attention
+
+                attn = nn.merge_heads(
+                    flash_attention(q, k, v, scale=q.shape[-1] ** -0.5))
+            else:
+                attn = nn.merge_heads(nn.sdpa(q, k, v, scale=q.shape[-1] ** -0.5))
             h = h + nn.linear(p["out"], attn)
             y = nn.layer_norm_apply(p["norm2"], h, eps=eps)
             h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y)))

@@ -1,0 +1,118 @@
+"""Fused blockwise (flash) attention with additive bias, Pallas TPU.
+
+The attention sites in this framework are short (<=362 tokens for the AR
+window, ~199 for wav2vec), so XLA's fused SDPA is already near-optimal there;
+this kernel exists for the scaling story (SURVEY 7.2 step 4): it is written
+blockwise with an online-softmax accumulator, so sequence length scales to
+whatever HBM holds with O(block) VMEM, and it supports the additive attention
+bias the VAR mask / two-window VAE mask need. It composes with shard_map if
+windows are ever widened (blockwise == ring-attention-ready).
+
+Numerics: logits and softmax accumulate in f32 regardless of input dtype
+(matches models/nn.py sdpa semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QBLK = 128   # query rows per grid step
+KBLK = 128   # kv columns per inner step
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
+                  kv_len: int, with_bias: bool):
+    """One (batch*head, q-block) grid step: online softmax over kv blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (QBLK, hd)
+    hd = q.shape[-1]
+    num_kv = kv_len // KBLK
+
+    def body(i, carry):
+        acc, m, l = carry                              # (QBLK, hd), (QBLK,1), (QBLK,1)
+        k = k_ref[0, pl.ds(i * KBLK, KBLK), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * KBLK, KBLK), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (QBLK, KBLK)
+        if with_bias:
+            s = s + bias_ref[0, :, pl.ds(i * KBLK, KBLK)]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((QBLK, hd), jnp.float32)
+    m0 = jnp.full((QBLK, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((QBLK, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None, *, scale: float = 1.0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused attention over (B, H, Lq, hd) x (B, H, Lk, hd) [+ bias].
+
+    bias: additive logits bias broadcastable to (B, H, Lq, Lk) -- e.g. the
+    VAR level mask (models.py:124-135) or the VAE two-window block mask
+    (bitwise_vae.py:68-76). Lengths are padded to the block sizes internally;
+    padded kv columns are masked with -inf via the bias path.
+    """
+    b, h, lq, hd = q.shape
+    lk = k.shape[2]
+    pq = (lq + QBLK - 1) // QBLK * QBLK
+    pk = (lk + KBLK - 1) // KBLK * KBLK
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq - lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk - lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk - lk), (0, 0)))
+
+    # fold kv padding into the bias so padded columns never win the softmax
+    need_bias = bias is not None or pk != lk
+    if need_bias:
+        full = jnp.zeros((b, h, pq, pk), jnp.float32)
+        if bias is not None:
+            full = full.at[:, :, :lq, :lk].set(
+                jnp.broadcast_to(bias, (b, h, lq, lk)).astype(jnp.float32))
+        if pk != lk:
+            full = full.at[:, :, :, lk:].set(NEG_INF)
+        biasf = full.reshape(b * h, pq, pk)
+    else:
+        biasf = jnp.zeros((b * h, 1, 1), jnp.float32)  # placeholder
+
+    qf = qp.reshape(b * h, pq, hd)
+    kf = kp.reshape(b * h, pk, hd)
+    vf = vp.reshape(b * h, pk, hd)
+
+    grid = (b * h, pq // QBLK)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=pk,
+                          with_bias=need_bias),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, QBLK, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pk, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QBLK, pk) if need_bias else (1, 1, 1),
+                         (lambda i, j: (i, j, 0)) if need_bias else
+                         (lambda i, j: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, QBLK, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, pq, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, biasf)
+    return out.reshape(b, h, pq, hd)[:, :, :lq]

@@ -48,7 +48,9 @@ def ar_loss(model: BitwiseARModel, params, audio_chunk: jnp.ndarray,
 
     prefix = model._prefix_from_bits(params, style_cond, prev_bits, tile=True)
     tokens = model.teacher_inputs(params, this_bits, style_cond)
-    audio_cond = model.audio_condition(params, audio_chunk)
+    # the reference detaches the audio condition (frozen audio encoder,
+    # models.py:95) -- keep the encoder out of the gradient path
+    audio_cond = jax.lax.stop_gradient(model.audio_condition(params, audio_chunk))
     logits = model.forward_logits(params, tokens, audio_cond, prefix)  # (B,181,C,2)
 
     log_probs = jax.nn.log_softmax(logits, axis=-1)
