@@ -17,7 +17,8 @@ from artalk_tpu.ops.resample1d import (
 # (in_size, out_size) pairs that actually occur in the pipeline:
 # audio features (199 or 200 frames per 4s window) -> scales; pyramid scales <-> 100.
 PAIRS_DOWN = [(100, 1), (100, 5), (100, 25), (100, 50), (199, 1), (199, 5),
-              (199, 25), (199, 50), (199, 100), (200, 100), (7, 3)]
+              (199, 25), (199, 50), (199, 100), (200, 100), (7, 3),
+              (50, 100)]  # area 'upsampling': the mimi 12.5 Hz -> 100-slot path
 PAIRS_UP = [(1, 100), (5, 100), (25, 100), (50, 100), (3, 7)]
 
 
