@@ -15,8 +15,6 @@ vmapped and transferred once.
 from __future__ import annotations
 
 
-
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ stack yields exactly 199 frames, so downstream resizes are constant matrices.
 from __future__ import annotations
 
 
-
 import jax
 import jax.numpy as jnp
 
