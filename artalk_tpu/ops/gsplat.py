@@ -24,7 +24,6 @@ formulation of the same sum: C(p) = sum_i c_i a_i prod_{j<i} (1 - a_j).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -170,18 +169,43 @@ def _build_instances(mean2d, depth, conic, radius, opac, colors, size: int):
 
     Returns per-instance packed arrays sorted so each tile's gaussians are
     contiguous and front-to-back, plus per-tile segment offsets.
+
+    The instance sort is latency-bound on a tunneled TPU, so every 1.44M-row
+    pass is minimized to exactly three: one payload-free ``lax.sort`` of
+    int32 keys, one searchsorted for the segment offsets, and ONE packed
+    (geo+color) gather. Depth order is folded into the key -- gaussians are
+    depth-sorted once (N elements, DUP x smaller), and each instance's key is
+    ``tile_id << rank_bits | depth_rank`` where the rank is just the row
+    index after the permutation, so both the tile segment boundaries and the
+    source row are recoverable from the sorted key alone with no carried
+    payload and no inverse-permutation gather.
     """
     n = mean2d.shape[0]
     tiles_x = size // GTILE_W
     tiles_y = size // GTILE_H
     num_tiles = tiles_x * tiles_y
+    rank_bits = max((n - 1).bit_length(), 1)
+    assert (num_tiles + 1) < (1 << (31 - rank_bits)), "key overflow"
+
+    # depth order once; instances are emitted in this order so the in-tile
+    # key order (by row index) is front-to-back.
+    perm = jnp.argsort(depth)
+    # packed per-gaussian table, depth-ordered, feature-major for the final
+    # lane-aligned gather: rows 0..7 = [mx, my, ca, cb, cc, op, 0, 0]
+    # (padded 6 -> 8 for sublane-aligned kernel DMA), rows 8..39 = colors.
+    table = jnp.concatenate([
+        mean2d, conic, opac[:, None], jnp.zeros((n, 2), mean2d.dtype), colors,
+    ], axis=-1)[perm].T                                   # (8 + CHANNELS, n)
+    mean2d_s = table[0:2].T
+    opac_s = table[5]
+    radius_s = radius[perm]
 
     # bbox-anchored tile slots: DUP_Y x DUP_X tiles starting at the bbox's
     # top-left tile, clipped against the pixel bbox (radius); slots outside go
     # to a trash tile. (Anchoring at the bbox corner covers tall splats that a
     # center-anchored neighborhood would truncate.)
-    cx0 = jnp.floor((mean2d[:, 0] - radius) / GTILE_W)
-    cy0 = jnp.floor((mean2d[:, 1] - radius) / GTILE_H)
+    cx0 = jnp.floor((mean2d_s[:, 0] - radius_s) / GTILE_W)
+    cy0 = jnp.floor((mean2d_s[:, 1] - radius_s) / GTILE_H)
     offs = jnp.asarray([(dy, dx) for dy in range(DUP_Y) for dx in range(DUP_X)],
                        jnp.float32)                        # (DUP, 2)
     ty = cy0[:, None] + offs[None, :, 0]
@@ -189,50 +213,38 @@ def _build_instances(mean2d, depth, conic, radius, opac, colors, size: int):
     # tile pixel bounds
     x0, x1 = tx * GTILE_W, (tx + 1) * GTILE_W
     y0, y1 = ty * GTILE_H, (ty + 1) * GTILE_H
-    gx0 = (mean2d[:, 0] - radius)[:, None]
-    gx1 = (mean2d[:, 0] + radius)[:, None]
-    gy0 = (mean2d[:, 1] - radius)[:, None]
-    gy1 = (mean2d[:, 1] + radius)[:, None]
+    gx0 = (mean2d_s[:, 0] - radius_s)[:, None]
+    gx1 = (mean2d_s[:, 0] + radius_s)[:, None]
+    gy0 = (mean2d_s[:, 1] - radius_s)[:, None]
+    gy1 = (mean2d_s[:, 1] + radius_s)[:, None]
     overlap = (gx1 >= x0) & (gx0 <= x1) & (gy1 >= y0) & (gy0 <= y1)
     valid = overlap & (tx >= 0) & (tx < tiles_x) & (ty >= 0) & (ty < tiles_y) \
-        & (opac > 0)[:, None] & (radius > 0)[:, None]
+        & (opac_s > 0)[:, None] & (radius_s > 0)[:, None]
     tile_id = jnp.where(valid, (ty * tiles_x + tx).astype(jnp.int32), num_tiles)
 
-    flat_tile = tile_id.reshape(-1)                       # (N * 9,)
-    flat_gauss = jnp.tile(jnp.arange(n)[:, None], (1, DUP)).reshape(-1)
+    # key = tile << rank_bits | depth rank; the rank of every slot of
+    # depth-ranked gaussian g is just g (one gaussian never emits two slots
+    # into the same real tile, and trash-tile duplicates are never read).
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n, DUP), 0)
+    key = (tile_id << rank_bits) | rank
 
-    # tile-major / depth-minor ordering with ONE large sort: rank gaussians by
-    # depth (cheap N-sort), pack (tile_id, depth_rank) into one int32 key
-    # (needs log2(num_tiles+1) + log2(N) <= 31 bits), argsort the keys.
-    depth_rank = jnp.zeros((n,), jnp.int32).at[jnp.argsort(depth)].set(
-        jnp.arange(n, dtype=jnp.int32))
-    rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
-    assert (num_tiles + 1) < (1 << (31 - rank_bits)), "key overflow"
-    key = flat_tile * (1 << rank_bits) + jnp.tile(depth_rank[:, None], (1, DUP)).reshape(-1)
-    order = jnp.argsort(key, stable=False)  # keys are unique (tile, rank)
-    sorted_tile = flat_tile[order]
-    sorted_gauss = flat_gauss[order]
-
-    # per-tile segment offsets (num_tiles + 1,)
-    offsets = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1)).astype(jnp.int32)
-
-    # gather packed per-instance data (pad to GCHUNK multiple); stored
-    # transposed -- (feature, instance) -- so per-chunk DMA slices run along
-    # the lane-aligned instance axis
-    total = sorted_gauss.shape[0]
+    total = n * DUP
     padded = ((total + GCHUNK - 1) // GCHUNK) * GCHUNK
-    pad = padded - total
-    sorted_gauss = jnp.pad(sorted_gauss, (0, pad))
-    geo = jnp.concatenate([
-        mean2d, conic, opac[:, None],
-    ], axis=-1)[sorted_gauss]                              # (P, 6)
-    cols = colors[sorted_gauss]                            # (P, 32)
-    # zero out padding instances so they contribute nothing
-    inst_valid = jnp.arange(padded) < total
-    geo = jnp.where(inst_valid[:, None], geo, 0.0)
-    # pad feature rows 6 -> 8 for sublane alignment of the DMA slices
-    geo8 = jnp.concatenate([geo, jnp.zeros_like(geo[:, :2])], axis=-1)
-    return geo8.T, cols.T, offsets
+    key = jnp.pad(key.reshape(-1), (0, padded - total),
+                  constant_values=jnp.iinfo(jnp.int32).max)
+    sorted_key = jax.lax.sort(key)                        # payload-free sort
+    # per-tile segment starts; [num_tiles] = start of trash (pad keys sort
+    # after every trash key) = end of the last real segment.
+    offsets = jnp.searchsorted(
+        sorted_key,
+        (jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits)).astype(jnp.int32)
+
+    # ONE gather materializes all per-instance data; rows past the trash
+    # start hold clamped-index garbage the kernel never reads. (feature,
+    # instance) layout keeps per-chunk DMA slices lane-aligned.
+    src = sorted_key & ((1 << rank_bits) - 1)             # depth-ranked row
+    data = table[:, src]                                  # (8 + CHANNELS, P)
+    return data[:8], data[8:], offsets
 
 
 def _cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
