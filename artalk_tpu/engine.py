@@ -190,14 +190,17 @@ class ARTAvatarInferEngine:
             with GLOBAL_METRICS.stage("render.flame_verts"):
                 verts = self._flame_verts(shape, pred_motions)
             with GLOBAL_METRICS.stage("render.rasterize"):
-                frames = self.mesh_renderer.render_frames(verts)
+                frames = self.mesh_renderer.render_frames(verts, colorspace="yuv420")
         else:
             frames = self.gagavatar.render_motion_sequence(
-                shape_id, pred_motions, self.gagavatar_flame)
+                shape_id, pred_motions, self.gagavatar_flame, colorspace="yuv420")
         audio = np.asarray(audio, np.float32).reshape(-1)
         audio = audio[: int(t / self.cfg.fps * self.cfg.sample_rate)]
         out_path = os.path.join(self.output_dir, f"{save_name}.mp4")
-        return write_video(frames, out_path, self.cfg.fps, audio, self.cfg.sample_rate)
+        # frames cross the device link as yuv420p (ops/colorspace.py): half
+        # the bytes of RGB, and what the encoder wants anyway
+        return write_video(frames, out_path, self.cfg.fps, audio,
+                           self.cfg.sample_rate, pix_fmt="yuv420")
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _flame_verts(self, shape: jnp.ndarray, motions: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,7 @@ transfer happens once per clip chunk (vs the reference's per-frame .cpu()).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional
 
@@ -21,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.colorspace import rgb_to_yuv420p
 from ...ops.gsplat import rasterize_gaussians
 from ...ops.resize2d import resize_antialias
 from .. import nn
@@ -42,6 +44,46 @@ FOREHEAD_INDICES = np.array([
 NUM_FLAME_VERTS = 5023
 PLANE_SIZE = 296
 CAM_PARAMS = {"focal": 12.0, "size": 512}
+
+
+def prep_frame_chunk(flame_model, shapecode, base_transform, motions_k,
+                     carry, is_first, valid):
+    """Batched per-frame prep for a K-frame chunk (the sequential part of
+    GAGAvatar/models.py:98-128, restructured as scans).
+
+    motions_k: (K, 106). carry: (F, 3) forehead EMA state. is_first: scalar
+    >0 on the very first chunk of a stream (EMA seeds from frame 0). valid:
+    frames beyond this count render but leave the carry untouched (clip
+    padding must not leak into cross-call state).
+
+    Returns (t_points (K, 5023, 3), cams (K, 3, 4), carry_out (F, 3)).
+    """
+    k = motions_k.shape[0]
+    exp = motions_k[:, :100]
+    jaw = jnp.concatenate([jnp.zeros((k, 3)), motions_k[:, 103:106]], axis=-1)
+    shp = jnp.broadcast_to(shapecode, (k, shapecode.shape[-1]))
+    t_points = flame_model(shp, exp, jaw)               # (K, 5023, 3)
+
+    # forehead EMA smoothing (models.py:120-125)
+    cur = t_points[:, FOREHEAD_INDICES]                 # (K, F, 3)
+    carry0 = jnp.where(is_first > 0, cur[0], carry)
+
+    def ema(state, x):
+        c, i = state
+        new = jnp.where(i < valid, 0.98 * c + 0.02 * x, c)
+        return (new, i + 1), new
+
+    (carry_out, _), smoothed = jax.lax.scan(ema, (carry0, jnp.int32(0)), cur)
+    t_points = t_points.at[:, FOREHEAD_INDICES].set(smoothed)
+
+    # head rotation folded into the camera; translation from the avatar's
+    # base transform (models.py:127, :255-264)
+    cams = transform_emoca_to_p3d(motions_k[:, 100:103])  # (K, 3, 4)
+    cams = jnp.concatenate([
+        cams[:, :, :3],
+        jnp.broadcast_to(base_transform[None, :, 3:4], (k, 3, 1)),
+    ], axis=-1)
+    return t_points, cams, carry_out
 
 
 class GAGAvatar:
@@ -74,6 +116,8 @@ class GAGAvatar:
         self._feature_cache = None
         self._upper_points = None
         self._frame_fn = jax.jit(self._frame_step)
+        self._chunk_fn = None
+        self._chunk_flame = None
 
     # ----------------------------------------------------------------- params
 
@@ -196,24 +240,84 @@ class GAGAvatar:
         return self._frame_fn(self._gs_params, batch["t_points"],
                               batch["t_transform"], self.params["upsampler"])
 
-    def render_motion_sequence(self, avatar_id: str, motions: jnp.ndarray,
-                               flame_model, transfer_chunk: int = 25) -> np.ndarray:
-        """(T, 106) motions -> uint8 (T, 512, 512, 3) frames.
+    # ------------------------------------------------------------- per chunk
 
-        Frames accumulate on device and transfer to host in chunks (the
-        reference moves every frame with .cpu(), inference.py:76-79).
+    def _chunk_step(self, flame_model, colorspace, gs_params, upsampler_params,
+                    shapecode, base_transform, motions_k, carry, is_first, valid):
+        """K frames in one compiled step: batched FLAME + EMA scan + per-frame
+        splat/SR scan + on-device uint8 packing.
+
+        Replaces the reference's per-frame host loop (inference.py:76-79,
+        GAGAvatar/models.py:98-128): FLAME LBS runs batched over the chunk,
+        the forehead EMA is a lax.scan linear recurrence, and only uint8
+        frames ever cross the device boundary -- as yuv420p (half the bytes)
+        when `colorspace == "yuv420"`.
+        """
+        t_points, cams, carry_out = prep_frame_chunk(
+            flame_model, shapecode, base_transform, motions_k, carry,
+            is_first, valid)
+
+        def frame(_, inp):
+            tp, cam = inp
+            xyz = gs_params["xyz"][0].at[:NUM_FLAME_VERTS].set(tp)
+            render = rasterize_gaussians(
+                xyz, gs_params["colors"][0], gs_params["opacities"][0],
+                gs_params["scales"][0], gs_params["rotations"][0], cam,
+                focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
+                interpret=self.interpret)
+            sr = jnp.clip(self.upsampler(upsampler_params, render[None]), 0.0, 1.0)
+            if colorspace == "yuv420":
+                return _, rgb_to_yuv420p(sr, channel_axis=1)[0]
+            rgb = jnp.clip(sr[0].transpose(1, 2, 0) * 255.0, 0.0, 255.0)
+            return _, rgb.astype(jnp.uint8)
+
+        _, frames = jax.lax.scan(frame, 0, (t_points, cams))
+        return frames, carry_out
+
+    def _get_chunk_fn(self, flame_model, colorspace: str):
+        key = (id(flame_model), colorspace)
+        if self._chunk_fn is None or self._chunk_flame != key:
+            self._chunk_flame = key
+            step = functools.partial(self._chunk_step, flame_model, colorspace)
+            self._chunk_fn = jax.jit(step)
+        return self._chunk_fn
+
+    def render_motion_sequence(self, avatar_id: str, motions: jnp.ndarray,
+                               flame_model, transfer_chunk: int = 25,
+                               colorspace: str = "rgb") -> np.ndarray:
+        """(T, 106) motions -> uint8 frames: (T, 512, 512, 3) RGB, or
+        (T, 768, 512) yuv420p planes when `colorspace == "yuv420"`.
+
+        The clip runs through `_chunk_step` in fixed-size chunks (one compiled
+        shape); the host fetch of chunk k overlaps the device compute of chunk
+        k+1 (the reference moves every frame with .cpu(), inference.py:76-79).
         """
         if self._tracked is None or avatar_id not in (None, ""):
             self.set_avatar_id(avatar_id)
-        frames, pending = [], []
-        for t in range(motions.shape[0]):
-            batch = self.build_forward_batch(motions[t : t + 1], flame_model)
-            rgb = self.forward_expression(batch)  # (1, 3, 512, 512), on device
-            pending.append(
-                jnp.clip(rgb[0].transpose(1, 2, 0) * 255.0, 0, 255).astype(jnp.uint8))
-            if len(pending) >= transfer_chunk:
-                frames.append(np.asarray(jnp.stack(pending)))
-                pending = []
-        if pending:
-            frames.append(np.asarray(jnp.stack(pending)))
-        return np.concatenate(frames, axis=0)
+        if self._gs_params is None:
+            self._build_gs_params()
+        fn = self._get_chunk_fn(flame_model, colorspace)
+        t_total = int(motions.shape[0])
+        motions = jnp.asarray(motions)
+        pad = (-t_total) % transfer_chunk
+        if pad:
+            motions = jnp.concatenate(
+                [motions, jnp.repeat(motions[-1:], pad, axis=0)], axis=0)
+        carry = (jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
+                 if self._upper_points is None else self._upper_points[0])
+        is_first = jnp.float32(1.0 if self._upper_points is None else 0.0)
+        shapecode = self._feature_cache["shapecode"]
+        base = self._feature_cache["transform"]
+        outs, pending = [], None
+        for i in range(0, motions.shape[0], transfer_chunk):
+            valid = jnp.int32(min(transfer_chunk, max(t_total - i, 0)))
+            frames_k, carry = fn(self._gs_params, self.params["upsampler"],
+                                 shapecode, base, motions[i:i + transfer_chunk],
+                                 carry, is_first, valid)
+            is_first = jnp.float32(0.0)
+            if pending is not None:  # fetch previous chunk while this one runs
+                outs.append(np.asarray(pending))
+            pending = frames_k
+        outs.append(np.asarray(pending))
+        self._upper_points = carry[None]
+        return np.concatenate(outs, axis=0)[:t_total]

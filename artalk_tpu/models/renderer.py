@@ -157,17 +157,38 @@ class MeshRenderer:
         """(B, V, 3) world-space verts -> (B, H, W, 3) float RGB in [0, 1]."""
         return self._render_batch(verts)
 
-    def render_frames(self, verts: jnp.ndarray, chunk: int = 25) -> np.ndarray:
+    def render_frames(self, verts: jnp.ndarray, chunk: int = 25,
+                      colorspace: str = "rgb") -> np.ndarray:
         """Render a long clip in fixed-size chunks (one compile), returning
-        uint8 (T, H, W, 3) on host with a single transfer per chunk."""
+        uint8 frames on host with a single transfer per chunk: (T, H, W, 3)
+        RGB, or (T, H * 3 // 2, W) yuv420p planes when `colorspace ==
+        "yuv420"` (half the host-link bytes, zero host conversion work).
+
+        The fetch of chunk k overlaps the device compute of chunk k + 1."""
+        from ..ops.colorspace import rgb_to_yuv420p
+
+        if not hasattr(self, "_frames_fn"):
+            self._frames_fn = {}
+        fn = self._frames_fn.get(colorspace)
+        if fn is None:
+            if colorspace == "yuv420":
+                fn = jax.jit(lambda v: rgb_to_yuv420p(
+                    jnp.clip(self._render_batch_impl(v), 0.0, 1.0),
+                    channel_axis=-1))
+            else:
+                fn = jax.jit(lambda v: jnp.clip(
+                    self._render_batch_impl(v) * 255.0, 0, 255).astype(jnp.uint8))
+            self._frames_fn[colorspace] = fn
         t = verts.shape[0]
-        out = []
+        out, pending, pending_n = [], None, 0
         for start in range(0, t, chunk):
             batch = verts[start : start + chunk]
             pad = chunk - batch.shape[0]
             if pad:
                 batch = jnp.concatenate([batch, jnp.tile(batch[-1:], (pad, 1, 1))])
-            imgs = self._render_batch(batch)
-            imgs = np.asarray(jnp.clip(imgs * 255.0, 0, 255).astype(jnp.uint8))
-            out.append(imgs[: chunk - pad if pad else chunk])
+            imgs = fn(batch)
+            if pending is not None:  # fetch previous chunk while this one runs
+                out.append(np.asarray(pending)[:pending_n])
+            pending, pending_n = imgs, chunk - pad
+        out.append(np.asarray(pending)[:pending_n])
         return np.concatenate(out, axis=0)

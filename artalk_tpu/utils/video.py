@@ -31,36 +31,44 @@ def _have_av() -> bool:
 
 def write_video(frames: np.ndarray, path: str, fps: float = 25.0,
                 audio: Optional[np.ndarray] = None, sample_rate: int = 16000,
-                acodec: str = "aac") -> str:
-    """frames: (T, H, W, 3) uint8 RGB. Returns the path actually written."""
+                acodec: str = "aac", pix_fmt: str = "rgb24") -> str:
+    """frames: (T, H, W, 3) uint8 RGB, or -- with ``pix_fmt="yuv420"`` --
+    (T, H * 3 // 2, W) uint8 planar yuv420p straight off the device
+    (ops/colorspace.py), which every backend here consumes natively.
+    Returns the path actually written."""
     frames = np.ascontiguousarray(frames)
-    assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
-    if frames.dtype != np.uint8:
-        frames = np.clip(frames, 0, 255).astype(np.uint8)
+    if pix_fmt == "yuv420":
+        assert frames.ndim == 3 and frames.dtype == np.uint8, frames.shape
+    else:
+        assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
     if _have_av():
-        _write_av(frames, path, fps, audio, sample_rate, acodec)
+        _write_av(frames, path, fps, audio, sample_rate, acodec, pix_fmt)
         return path
     if shutil.which("ffmpeg"):
-        _write_ffmpeg(frames, path, fps, audio, sample_rate)
+        _write_ffmpeg(frames, path, fps, audio, sample_rate, pix_fmt)
         return path
     try:
-        return _write_y4m_wav(frames, path, fps, audio, sample_rate)
+        return _write_y4m_wav(frames, path, fps, audio, sample_rate, pix_fmt)
     except Exception as e:  # pragma: no cover - depends on toolchain
         print(f"[artalk_tpu] y4m writer unavailable ({e}); falling back to npz")
     alt = os.path.splitext(path)[0] + ".npz"
     np.savez_compressed(alt, frames=frames, fps=fps,
                         audio=audio if audio is not None else np.zeros(0, np.float32),
-                        sample_rate=sample_rate)
+                        sample_rate=sample_rate, pix_fmt=pix_fmt)
     return alt
 
 
-def _write_av(frames, path, fps, audio, sample_rate, acodec):
+def _write_av(frames, path, fps, audio, sample_rate, acodec, pix_fmt="rgb24"):
     import av
 
+    yuv = pix_fmt == "yuv420"
+    height = frames.shape[1] * 2 // 3 if yuv else frames.shape[1]
     container = av.open(path, mode="w")
     stream = container.add_stream("h264", rate=fps)
     stream.width = frames.shape[2]
-    stream.height = frames.shape[1]
+    stream.height = height
     stream.pix_fmt = "yuv420p"
     stream.options = {"crf": "18"}
     audio_stream = None
@@ -69,7 +77,7 @@ def _write_av(frames, path, fps, audio, sample_rate, acodec):
                                             rate=sample_rate)
         audio_stream.format = "fltp"
     for frame in frames:
-        vf = av.VideoFrame.from_ndarray(frame, format="rgb24")
+        vf = av.VideoFrame.from_ndarray(frame, format="yuv420p" if yuv else "rgb24")
         for packet in stream.encode(vf):
             container.mux(packet)
     if audio is not None:
@@ -91,8 +99,13 @@ def _write_av(frames, path, fps, audio, sample_rate, acodec):
     container.close()
 
 
-def _write_ffmpeg(frames, path, fps, audio, sample_rate):
-    t, h, w, _ = frames.shape
+def _write_ffmpeg(frames, path, fps, audio, sample_rate, pix_fmt="rgb24"):
+    if pix_fmt == "yuv420":
+        t, h32, w = frames.shape
+        h, in_fmt = h32 * 2 // 3, "yuv420p"
+    else:
+        t, h, w, _ = frames.shape
+        in_fmt = "rgb24"
     audio_args = []
     audio_file = None
     if audio is not None:
@@ -101,7 +114,7 @@ def _write_ffmpeg(frames, path, fps, audio, sample_rate):
         audio_args = ["-f", "f32le", "-ar", str(sample_rate), "-ac", "1",
                       "-i", audio_file, "-c:a", "aac", "-shortest"]
     cmd = [
-        "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+        "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", in_fmt,
         "-s", f"{w}x{h}", "-r", str(fps), "-i", "-", *audio_args,
         "-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", "18", path,
     ]
@@ -114,14 +127,27 @@ def _write_ffmpeg(frames, path, fps, audio, sample_rate):
         raise RuntimeError(f"ffmpeg failed with code {proc.returncode}")
 
 
-def _write_y4m_wav(frames, path, fps, audio, sample_rate) -> str:
+def _write_y4m_wav(frames, path, fps, audio, sample_rate, pix_fmt="rgb24") -> str:
     """Native Y4M video + sibling .wav audio (no codecs required)."""
     import wave
 
     from ..runtime import media
 
     out = os.path.splitext(path)[0] + ".y4m"
-    media.write_y4m(out, frames, fps=fps)
+    if pix_fmt == "yuv420":
+        # device-converted planes: stream straight to disk, no host conversion
+        t, h32, w = frames.shape
+        h = h32 * 2 // 3
+        fps_num, fps_den = (int(fps), 1) if float(fps).is_integer() else \
+            (int(round(fps * 1001)), 1001)
+        with open(out, "wb") as f:
+            f.write(f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 "
+                    "C420jpeg\n".encode())
+            for i in range(t):
+                f.write(b"FRAME\n")
+                f.write(frames[i].tobytes())
+    else:
+        media.write_y4m(out, frames, fps=fps)
     if audio is not None:
         wav_path = os.path.splitext(path)[0] + ".wav"
         pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
@@ -133,10 +159,29 @@ def _write_y4m_wav(frames, path, fps, audio, sample_rate) -> str:
     return out
 
 
+def yuv420p_to_rgb(frames: np.ndarray) -> np.ndarray:
+    """(T, H * 3 // 2, W) uint8 planar yuv420p -> (T, H, W, 3) uint8 RGB
+    (inverse of ops/colorspace.py's BT.601 full-range transform)."""
+    t, h32, w = frames.shape
+    h = h32 * 2 // 3
+    y = frames[:, :h].astype(np.float32)
+    u = frames[:, h:h + h // 4].reshape(t, h // 2, w // 2).astype(np.float32) - 128.0
+    v = frames[:, h + h // 4:].reshape(t, h // 2, w // 2).astype(np.float32) - 128.0
+    u = np.repeat(np.repeat(u, 2, axis=1), 2, axis=2)
+    v = np.repeat(np.repeat(v, 2, axis=1), 2, axis=2)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
 def read_video_npz(path: str):
-    """Read the fallback .npz container."""
+    """Read the fallback .npz container (frames always returned as RGB)."""
     with np.load(path) as z:
-        return z["frames"], float(z["fps"]), z["audio"], int(z["sample_rate"])
+        frames = z["frames"]
+        if "pix_fmt" in z.files and str(z["pix_fmt"]) == "yuv420":
+            frames = yuv420p_to_rgb(frames)
+        return frames, float(z["fps"]), z["audio"], int(z["sample_rate"])
 
 
 # ---------------------------------------------------------------------------

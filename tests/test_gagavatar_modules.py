@@ -152,3 +152,61 @@ def test_style_unet_small(rng):
     o = np.asarray(out)
     assert np.isfinite(o).all() and (0 <= o).all() and (o <= 1).all()
     np.testing.assert_array_equal(o, np.asarray(unet(params, x)))
+
+
+def test_prep_frame_chunk_matches_sequential(rng):
+    """Chunked FLAME+EMA+camera prep == the sequential per-frame reference
+    path (build_forward_batch semantics), incl. carry threading across chunks
+    and padding frames frozen out of the EMA state."""
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.gagavatar.avatar import FOREHEAD_INDICES, prep_frame_chunk
+    from artalk_tpu.utils.assets import synthetic_flame
+
+    data = synthetic_flame(num_verts=5023, num_faces=600, seed=3)
+    flame = FlameModel(data, n_shape=300, n_exp=100, scale=5.0)
+    shapecode = jnp.asarray(rng.standard_normal((1, 300)).astype(np.float32) * 0.1)
+    base = jnp.asarray(rng.standard_normal((3, 4)).astype(np.float32))
+    t_total = 11
+    motions = jnp.asarray(rng.standard_normal((t_total, 106)).astype(np.float32) * 0.1)
+
+    # sequential reference (mirrors avatar.build_forward_batch per frame)
+    from artalk_tpu.models.gagavatar.generators import transform_emoca_to_p3d
+    upper = None
+    seq_points, seq_cams = [], []
+    for t in range(t_total):
+        m = motions[t : t + 1]
+        jaw = jnp.concatenate([jnp.zeros((1, 3)), m[:, 103:106]], axis=-1)
+        tp = flame(shapecode, m[:, :100], jaw)
+        cur = tp[:, FOREHEAD_INDICES]
+        if upper is None:
+            upper = cur
+        else:
+            upper = 0.98 * upper + 0.02 * cur
+            tp = tp.at[:, FOREHEAD_INDICES].set(upper)
+        cam = transform_emoca_to_p3d(m[:, 100:103])[0]
+        seq_cams.append(jnp.concatenate([cam[:, :3], base[:, 3:4]], axis=-1))
+        seq_points.append(tp[0])
+    seq_points = jnp.stack(seq_points)
+    seq_cams = jnp.stack(seq_cams)
+
+    # chunked path: two chunks of 8 (second has 5 padding frames)
+    k = 8
+    padded = jnp.concatenate([motions, jnp.repeat(motions[-1:], 2 * k - t_total, axis=0)])
+    carry = jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
+    got_points, got_cams = [], []
+    is_first = jnp.float32(1.0)
+    for i in range(0, 2 * k, k):
+        valid = jnp.int32(min(k, max(t_total - i, 0)))
+        tp, cams, carry = prep_frame_chunk(
+            flame, shapecode, base, padded[i : i + k], carry, is_first, valid)
+        is_first = jnp.float32(0.0)
+        got_points.append(tp)
+        got_cams.append(cams)
+    got_points = jnp.concatenate(got_points)[:t_total]
+    got_cams = jnp.concatenate(got_cams)[:t_total]
+
+    np.testing.assert_allclose(np.asarray(got_points), np.asarray(seq_points),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_cams), np.asarray(seq_cams), atol=1e-6)
+    # the carry equals the EMA state after exactly t_total real frames
+    np.testing.assert_allclose(np.asarray(carry), np.asarray(upper[0]), atol=1e-5)
