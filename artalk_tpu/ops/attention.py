@@ -56,17 +56,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    bias: Optional[jnp.ndarray] = None, *, scale: float = 1.0,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Fused attention over (B, H, Lq, hd) x (B, H, Lk, hd) [+ bias].
-
-    bias: additive logits bias broadcastable to (B, H, Lq, Lk) -- e.g. the
-    VAR level mask (models.py:124-135) or the VAE two-window block mask
-    (bitwise_vae.py:68-76). Lengths are padded to the block sizes internally;
-    padded kv columns are masked with -inf via the bias path.
-    """
+def _flash_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                bias: Optional[jnp.ndarray], scale: float,
+                interpret: bool) -> jnp.ndarray:
     b, h, lq, hd = q.shape
     lk = k.shape[2]
     pq = (lq + QBLK - 1) // QBLK * QBLK
@@ -116,3 +108,55 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(qf, kf, vf, biasf)
     return out.reshape(b, h, pq, hd)[:, :, :lq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_core(q, k, v, bias, scale, interpret):
+    return _flash_impl(q, k, v, bias, scale, interpret)
+
+
+def _flash_core_fwd(q, k, v, bias, scale, interpret):
+    return _flash_core(q, k, v, bias, scale, interpret), (q, k, v, bias)
+
+
+def _flash_core_bwd(scale, interpret, res, g):
+    """Standard softmax-attention VJP with an f32 recompute of the logits.
+
+    The Pallas kernel is forward-only (inference is the hot path); training
+    gradients recompute the (Lq, Lk) probabilities in XLA -- the same memory
+    class as the additive bias the forward already materializes. A blockwise
+    Pallas backward only pays off once windows outgrow that bias, which the
+    181-token VAR windows never do (SURVEY 5.7)."""
+    q, k, v, bias = res
+
+    def ref(q, k, v, bias):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * scale
+        if bias is not None:
+            s = s + bias.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+        return o.astype(q.dtype)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias)
+    return vjp(g)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None, *, scale: float = 1.0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused attention over (B, H, Lq, hd) x (B, H, Lk, hd) [+ bias].
+
+    bias: additive logits bias broadcastable to (B, H, Lq, Lk) -- e.g. the
+    VAR level mask (models.py:124-135) or the VAE two-window block mask
+    (bitwise_vae.py:68-76). Lengths are padded to the block sizes internally;
+    padded kv columns are masked with -inf via the bias path.
+
+    Differentiable: gradients flow through a custom VJP (f32 softmax
+    recompute), so the kernel can sit inside training graphs.
+    """
+    return _flash_core(q, k, v, bias, scale, interpret)

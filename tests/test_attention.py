@@ -51,3 +51,37 @@ def test_long_sequence_blockwise(rng):
     ref = np.asarray(sdpa(q, k, v, scale=0.1))
     got = np.asarray(flash_attention(q, k, v, scale=0.1, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_gradients_match_sdpa(rng):
+    """Custom VJP: grads through the Pallas forward == grads of the XLA sdpa
+    reference, for q/k/v and the additive bias."""
+    import jax
+
+    q, k, v = _qkv(rng, b=1, h=2, lq=32, lk=48, hd=16)
+    bias = jnp.asarray(rng.standard_normal((1, 1, 32, 48)).astype(np.float32))
+
+    def loss_flash(q, k, v, bias):
+        o = flash_attention(q, k, v, bias=bias, scale=0.25, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v, bias):
+        o = sdpa(q, k, v, scale=0.25, bias=bias)
+        return jnp.sum(o * jnp.cos(o))
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=3e-5)
+    # bias grad keeps the broadcast shape
+    assert got[3].shape == bias.shape
+
+
+def test_gradients_no_bias(rng):
+    import jax
+
+    q, k, v = _qkv(rng, b=1, h=1, lq=16, lk=16, hd=8)
+    g1 = jax.grad(lambda q: jnp.sum(
+        flash_attention(q, k, v, scale=1.0, interpret=True) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(sdpa(q, k, v, scale=1.0) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-5)
