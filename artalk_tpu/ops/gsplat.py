@@ -7,9 +7,11 @@ conics, front-to-back alpha compositing per pixel -- re-architected for TPU:
 
 1. **XLA prepass** (dense, batched): quaternion -> covariance, perspective
    projection, 2D conic + radius, and *budgeted tile duplication*: each
-   gaussian emits up to 3x3 tile instances (bounded => static shapes). A
-   two-pass stable sort orders instances tile-major, depth-minor; a
-   searchsorted gives per-tile segment offsets.
+   gaussian emits up to 2x4 tile instances (bounded => static shapes). One
+   payload-free int32 key sort (tile id | depth rank) orders instances
+   tile-major/depth-minor; a searchsorted on the sorted keys gives per-tile
+   segment offsets and one packed gather materializes the instance data
+   (see _build_instances).
 2. **Pallas kernel**: one grid step per 16x128-pixel tile; walks its segment
    in chunks. Per chunk the alpha of every (pixel, gaussian) pair is a dense
    VPU evaluation; the front-to-back compositing order is restored with an
@@ -35,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 CHANNELS = 32
 GTILE_H = 16       # pixel tile for the splat kernel
 GTILE_W = 128
-GCHUNK = 128       # gaussians per compositing step
+GCHUNK = 256       # gaussians per compositing step (512 overflows scoped VMEM)
 DUP_X = 2          # tile slots per gaussian in x (128-px tiles: covers r<128)
 DUP_Y = 4          # tile slots per gaussian in y (16-px tiles: covers r<32)
 DUP = DUP_X * DUP_Y
