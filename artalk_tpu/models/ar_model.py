@@ -39,6 +39,34 @@ from .style_encoder import StyleEncoder
 from .wav2vec import Wav2VecEncoder
 
 
+def topk_topp_mask(logits: jnp.ndarray, top_k: int = 2,
+                   top_p: float = 0.95) -> jnp.ndarray:
+    """VAR's sampling filter (reference models.py:151-164; shipped unused
+    there): keep the top-k logits per distribution, then drop the ascending
+    tail whose cumulative probability is <= 1 - top_p (the largest logit is
+    always kept). Removed entries go to -inf."""
+    v = logits.shape[-1]
+    if top_k > 0 and top_k < v:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p > 0:
+        sort_idx = jnp.argsort(logits, axis=-1)            # ascending
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = (cum <= (1.0 - top_p)).at[..., -1:].set(False)
+        inv = jnp.argsort(sort_idx, axis=-1)
+        remove = jnp.take_along_axis(remove, inv, axis=-1)
+        logits = jnp.where(remove, -jnp.inf, logits)
+    return logits
+
+
+def sample_with_top_k_top_p(logits: jnp.ndarray, key: jax.Array,
+                            top_k: int = 2, top_p: float = 0.95) -> jnp.ndarray:
+    """Categorical sample over the filtered logits (last axis)."""
+    return jax.random.categorical(key, topk_topp_mask(logits, top_k, top_p),
+                                  axis=-1)
+
+
 class WindowState(NamedTuple):
     """Sliding-window carry (donated across windows)."""
 
@@ -199,14 +227,21 @@ class BitwiseARModel:
         return feats, caches
 
     def _head_bits(self, params: nn.Params, feats: jnp.ndarray,
-                   cond: jnp.ndarray) -> jnp.ndarray:
-        """AdaLN head + per-bit greedy argmax (models.py:103-104, 138-148)."""
+                   cond: jnp.ndarray, sample=None) -> jnp.ndarray:
+        """AdaLN head + per-bit decision (models.py:103-104, 138-148):
+        greedy argmax by default, or top-k/top-p sampling when ``sample =
+        (key, top_k, top_p)`` (the reference ships the same sampler unused,
+        models.py:151-164)."""
         head = params["head"]
         scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(cond)), 2, axis=-1)
         feats = nn.layer_norm(feats, eps=1e-6) * (scale + 1.0) + shift
         logits = nn.linear(head["out"], feats).astype(jnp.float32)
         b, l, _ = logits.shape
-        return jnp.argmax(logits.reshape(b, l, -1, 2), axis=-1).astype(jnp.int32)
+        logits = logits.reshape(b, l, -1, 2)
+        if sample is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        key, top_k, top_p = sample
+        return sample_with_top_k_top_p(logits, key, top_k, top_p).astype(jnp.int32)
 
     # ------------------------------------------------------------ window decode
 
@@ -228,12 +263,17 @@ class BitwiseARModel:
         return jnp.concatenate([resize_area(feat, pn) for pn in self.patch_nums], axis=1)
 
     def decode_window(self, params: nn.Params, audio_cond: jnp.ndarray,
-                      style_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray) -> jnp.ndarray:
-        """Generate one window's code bits (B, 181, code_dim), greedy.
+                      style_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray,
+                      sample=None) -> jnp.ndarray:
+        """Generate one window's code bits (B, 181, code_dim) -- greedy, or
+        top-k/top-p sampled when ``sample = (key, top_k, top_p)``.
 
         Level loop is unrolled at trace time (5 static shapes); each level
         feeds only its *new* tokens, attending to the KV cache.
         """
+        if sample is not None:
+            s_key, top_k, top_p = sample
+            level_keys = jax.random.split(s_key, len(self.patch_nums))
         lvl_pos = self.lvl_pos_embed(params)
         prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
         caches = self.init_cache(params, prev_feat)
@@ -249,7 +289,9 @@ class BitwiseARModel:
             off = self.offsets[level]
             cond = audio_cond[:, off : off + pn]
             feats, caches = self._run_level(params, tokens, cond, caches, level)
-            bits = self._head_bits(params, feats, cond)
+            bits = self._head_bits(
+                params, feats, cond,
+                None if sample is None else (level_keys[level], top_k, top_p))
             all_bits.append(bits)
             if level < len(self.patch_nums) - 1:
                 next_pn = self.patch_nums[level + 1]
@@ -337,8 +379,8 @@ class BitwiseARModel:
         return prefix
 
     def window_step(self, params: nn.Params, state: WindowState,
-                    audio_chunk: jnp.ndarray, style_cond: jnp.ndarray
-                    ) -> Tuple[WindowState, jnp.ndarray]:
+                    audio_chunk: jnp.ndarray, style_cond: jnp.ndarray,
+                    sample=None) -> Tuple[WindowState, jnp.ndarray]:
         """One sliding-window step: 4 s audio -> 100 motion frames + new carry.
 
         Mirrors the reference's outer loop body (models.py:92-114) with the
@@ -346,7 +388,8 @@ class BitwiseARModel:
         straight into ``lax.scan`` (offline) or repeated calls (streaming).
         """
         audio_cond = self.audio_condition(params, audio_chunk)
-        bits = self.decode_window(params, audio_cond, style_cond, state.prev_attn_feat)
+        bits = self.decode_window(params, audio_cond, style_cond,
+                                  state.prev_attn_feat, sample)
         _, this_motion = self.vae.decode_from_bits(params["vae"], state.prev_bits, bits)
         new_prev_bits, _ = self.vae.encode_to_bits(params["vae"], this_motion)
         new_prefix = self._prefix_from_bits(params, style_cond, new_prev_bits)
@@ -355,15 +398,29 @@ class BitwiseARModel:
         return WindowState(new_prev_bits, rolled), this_motion
 
     def generate(self, params: nn.Params, audio_chunks: jnp.ndarray,
-                 style_cond: jnp.ndarray) -> jnp.ndarray:
+                 style_cond: jnp.ndarray, sample_key: Optional[jax.Array] = None,
+                 top_k: int = 2, top_p: float = 0.95) -> jnp.ndarray:
         """Offline path: scan over (N, B, window_samples) chunks ->
-        (B, N*window, motion_dim) motions. Constant memory in N."""
+        (B, N*window, motion_dim) motions. Constant memory in N.
+
+        Greedy (reference default) unless ``sample_key`` is given, in which
+        case bits are top-k/top-p sampled per window (models.py:151-164)."""
         state = self.initial_state(params, style_cond, batch_size=audio_chunks.shape[1])
 
-        def body(carry, chunk):
-            return self.window_step(params, carry, chunk, style_cond)
+        if sample_key is None:
+            def body(carry, chunk):
+                return self.window_step(params, carry, chunk, style_cond)
 
-        _, motions = jax.lax.scan(body, state, audio_chunks)
+            _, motions = jax.lax.scan(body, state, audio_chunks)
+        else:
+            keys = jax.random.split(sample_key, audio_chunks.shape[0])
+
+            def body(carry, xs):
+                chunk, k = xs
+                return self.window_step(params, carry, chunk, style_cond,
+                                        sample=(k, top_k, top_p))
+
+            _, motions = jax.lax.scan(body, state, (audio_chunks, keys))
         # (N, B, window, D) -> (B, N*window, D)
         n, b, w, d = motions.shape
         return motions.transpose(1, 0, 2, 3).reshape(b, n * w, d)

@@ -163,3 +163,52 @@ def test_prev_ratio_two(rng):
     motions = jax.jit(model.generate)(params, chunks, style)
     assert motions.shape == (1, 3 * cfg2.vae.window, cfg2.vae.motion_dim)
     assert np.isfinite(np.asarray(motions)).all()
+
+
+def test_topk_topp_mask_matches_torch_reference(rng):
+    """The JAX sampling filter == the reference's torch filter semantics
+    (models.py:151-164: top-k keep, ascending-cumsum nucleus drop, largest
+    logit always kept)."""
+    import torch
+
+    from artalk_tpu.models.ar_model import topk_topp_mask
+
+    logits = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    for top_k, top_p in ((2, 0.95), (0, 0.9), (4, 0.0), (3, 0.5)):
+        t = torch.tensor(logits.copy())
+        if top_k > 0:
+            idx_rm = t < t.topk(top_k, largest=True, sorted=False, dim=-1)[0] \
+                .amin(dim=-1, keepdim=True)
+            t.masked_fill_(idx_rm, -torch.inf)
+        if top_p > 0:
+            sorted_logits, sorted_idx = t.sort(dim=-1, descending=False)
+            rm = sorted_logits.softmax(dim=-1).cumsum_(dim=-1) <= (1 - top_p)
+            rm[..., -1:] = False
+            t.masked_fill_(rm.scatter(sorted_idx.ndim - 1, sorted_idx, rm),
+                           -torch.inf)
+        got = np.asarray(topk_topp_mask(jnp.asarray(logits), top_k, top_p))
+        np.testing.assert_allclose(got, t.numpy(), atol=1e-6)
+
+
+def test_sampling_topk1_equals_greedy(model_and_params, rng):
+    """top_k=1 sampling collapses to the greedy argmax decode bit-for-bit."""
+    model, params = model_and_params
+    chunks = jnp.asarray(
+        rng.standard_normal((2, 1, model.window_samples)).astype(np.float32) * 0.1)
+    style = model.encode_style(params, None)
+    greedy = model.generate(params, chunks, style)
+    sampled = model.generate(params, chunks, style,
+                             sample_key=jax.random.PRNGKey(7), top_k=1, top_p=0.0)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(sampled))
+
+
+def test_sampling_is_stochastic_but_valid(model_and_params, rng):
+    model, params = model_and_params
+    chunks = jnp.asarray(
+        rng.standard_normal((1, 1, model.window_samples)).astype(np.float32) * 0.1)
+    style = model.encode_style(params, None)
+    a = model.generate(params, chunks, style, sample_key=jax.random.PRNGKey(0))
+    b = model.generate(params, chunks, style, sample_key=jax.random.PRNGKey(1))
+    assert a.shape == b.shape
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
