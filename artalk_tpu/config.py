@@ -128,6 +128,28 @@ class Wav2VecConfig:
         return length
 
 
+def hubert_base_config(**overrides) -> Wav2VecConfig:
+    """facebook/hubert-base-ls960 architecture constants (the config behind
+    the reference's HubertModel wrapper, app/modules/hubert.py): group-norm
+    conv0, bias-free convs, post-LN 12-layer 768-wide encoder."""
+    kwargs = dict(
+        conv_dim=(512, 512, 512, 512, 512, 512, 512),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_bias=False,
+        feat_extract_norm="group",
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16,
+        do_stable_layer_norm=False,
+    )
+    kwargs.update(overrides)
+    return Wav2VecConfig(**kwargs)
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Top-level model config bundling AR + VAE (+ audio) sub-configs."""

@@ -4,6 +4,7 @@ style encoder, FLAME geometry, renderers."""
 from .bitwise_vae import BitwiseVAE
 from .style_encoder import StyleEncoder
 from .wav2vec import Wav2VecEncoder
+from .hubert import HubertEncoder
 from .ar_model import BitwiseARModel
 from .flame import FlameModel
 
@@ -11,6 +12,7 @@ __all__ = [
     "BitwiseVAE",
     "StyleEncoder",
     "Wav2VecEncoder",
+    "HubertEncoder",
     "BitwiseARModel",
     "FlameModel",
 ]

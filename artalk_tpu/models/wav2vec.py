@@ -48,10 +48,18 @@ def _conv1d(w: jnp.ndarray, b: jnp.ndarray | None, x: jnp.ndarray,
 
 
 class Wav2VecEncoder:
+    """Supports both HF wav2vec2-family variants:
+
+    - ``feat_extract_norm="layer"`` + ``do_stable_layer_norm=True``: the
+      xls-r encoder the reference uses (per-conv LayerNorm, pre-LN blocks,
+      final LN after the stack).
+    - ``feat_extract_norm="group"`` + ``do_stable_layer_norm=False``: the
+      base/HuBERT layout (GroupNorm after conv0 only, encoder LN *before*
+      the stack, post-LN blocks) -- used by models/hubert.py.
+    """
+
     def __init__(self, cfg: Wav2VecConfig = Wav2VecConfig()):
-        assert cfg.feat_extract_norm == "layer" and cfg.do_stable_layer_norm, (
-            "only the xls-r (layer_norm / stable-layer-norm) variant is implemented"
-        )
+        assert cfg.feat_extract_norm in ("layer", "group"), cfg.feat_extract_norm
         self.cfg = cfg
 
     # -- init ---------------------------------------------------------------
@@ -69,7 +77,10 @@ class Wav2VecEncoder:
             conv = {"w": w}
             if cfg.conv_bias:
                 conv["b"] = jnp.zeros((out_ch,))
-            convs.append({"conv": conv, "norm": nn.layer_norm_init(out_ch)})
+            entry = {"conv": conv}
+            if cfg.feat_extract_norm == "layer" or i == 0:
+                entry["norm"] = nn.layer_norm_init(out_ch)
+            convs.append(entry)
             in_ch = out_ch
 
         d = cfg.hidden_size
@@ -113,15 +124,25 @@ class Wav2VecEncoder:
     def extract_features(self, params: nn.Params, audio: jnp.ndarray) -> jnp.ndarray:
         """(B, T_samples) -> (B, T_frames, conv_dim): the conv feature stack.
 
-        layer_norm mode: each conv is followed by a channel LayerNorm and erf-GELU.
+        "layer" mode: every conv is followed by a channel LayerNorm + erf-GELU.
+        "group" mode: conv0 is followed by GroupNorm(C, C) (per-channel norm
+        over time, biased variance); later convs have no norm.
         """
         cfg = self.cfg
         x = audio[:, None, :]  # (B, 1, T)
         for p, stride in zip(params["feature_extractor"], cfg.conv_stride):
             x = _conv1d(p["conv"]["w"], p["conv"].get("b"), x, stride=stride)
-            x = x.transpose(0, 2, 1)
-            x = nn.layer_norm_apply(p["norm"], x, eps=cfg.layer_norm_eps)
-            x = nn.gelu_erf(x).transpose(0, 2, 1)
+            if cfg.feat_extract_norm == "layer":
+                x = x.transpose(0, 2, 1)
+                x = nn.layer_norm_apply(p["norm"], x, eps=cfg.layer_norm_eps)
+                x = x.transpose(0, 2, 1)
+            elif "norm" in p:  # group mode, conv0 only
+                mean = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.var(x, axis=-1, keepdims=True)
+                x = (x - mean) / jnp.sqrt(var + cfg.layer_norm_eps)
+                x = x * p["norm"]["scale"][None, :, None] \
+                    + p["norm"]["bias"][None, :, None]
+            x = nn.gelu_erf(x)
         return x.transpose(0, 2, 1)  # (B, T, C)
 
     def _pos_conv_embed(self, params: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -135,16 +156,19 @@ class Wav2VecEncoder:
         return nn.gelu_erf(h.transpose(0, 2, 1))
 
     def encode(self, params: nn.Params, features: jnp.ndarray) -> jnp.ndarray:
-        """Feature projection + stable-layer-norm transformer encoder."""
+        """Feature projection + transformer encoder (pre-LN "stable" layout,
+        or the base/HuBERT post-LN layout when ``do_stable_layer_norm`` is
+        False: encoder LN before the stack, LN after each residual)."""
         cfg = self.cfg
         eps = cfg.layer_norm_eps
         fp = params["feature_projection"]
         x = nn.linear(fp["proj"], nn.layer_norm_apply(fp["norm"], features, eps=eps))
         x = x + self._pos_conv_embed(params, x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
         num_heads = cfg.num_attention_heads
 
-        def layer_body(h, p):
-            y = nn.layer_norm_apply(p["norm1"], h, eps=eps)
+        def attend(y, p):
             q = nn.split_heads(nn.linear(p["q"], y), num_heads)
             k = nn.split_heads(nn.linear(p["k"], y), num_heads)
             v = nn.split_heads(nn.linear(p["v"], y), num_heads)
@@ -155,13 +179,23 @@ class Wav2VecEncoder:
                     flash_attention(q, k, v, scale=q.shape[-1] ** -0.5))
             else:
                 attn = nn.merge_heads(nn.sdpa(q, k, v, scale=q.shape[-1] ** -0.5))
-            h = h + nn.linear(p["out"], attn)
-            y = nn.layer_norm_apply(p["norm2"], h, eps=eps)
-            h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y)))
+            return nn.linear(p["out"], attn)
+
+        def layer_body(h, p):
+            if cfg.do_stable_layer_norm:
+                h = h + attend(nn.layer_norm_apply(p["norm1"], h, eps=eps), p)
+                y = nn.layer_norm_apply(p["norm2"], h, eps=eps)
+                h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y)))
+            else:
+                h = nn.layer_norm_apply(p["norm1"], h + attend(h, p), eps=eps)
+                ff = nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], h)))
+                h = nn.layer_norm_apply(p["norm2"], h + ff, eps=eps)
             return h, None
 
         x, _ = jax.lax.scan(layer_body, x, params["encoder"]["layers"])
-        return nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
+        if cfg.do_stable_layer_norm:
+            x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
+        return x
 
     def __call__(self, params: nn.Params, audio: jnp.ndarray) -> jnp.ndarray:
         """Full reference forward (wav2vec.py:11-20): z-norm -> convs -> encoder."""

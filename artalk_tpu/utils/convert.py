@@ -71,7 +71,12 @@ def convert_wav2vec(sd: StateDict, num_layers: int = 24, num_convs: int = 7) -> 
         conv = {"w": sd[f"{pre}.conv.weight"]}
         if f"{pre}.conv.bias" in sd:
             conv["b"] = sd[f"{pre}.conv.bias"]
-        convs.append({"conv": conv, "norm": _ln(sd, f"{pre}.layer_norm")})
+        entry = {"conv": conv}
+        # "layer" mode: every conv has a LayerNorm; "group" mode (base /
+        # HuBERT): only conv0 carries a GroupNorm (same param shapes)
+        if f"{pre}.layer_norm.weight" in sd:
+            entry["norm"] = _ln(sd, f"{pre}.layer_norm")
+        convs.append(entry)
 
     layers = []
     for i in range(num_layers):
