@@ -7,6 +7,8 @@ from .wav2vec import Wav2VecEncoder
 from .hubert import HubertEncoder
 from .ar_model import BitwiseARModel
 from .flame import FlameModel
+from .renderer import MeshRenderer
+from .renderer_extras import PointRenderer, TextureRenderer
 
 __all__ = [
     "BitwiseVAE",
@@ -15,4 +17,7 @@ __all__ = [
     "HubertEncoder",
     "BitwiseARModel",
     "FlameModel",
+    "MeshRenderer",
+    "PointRenderer",
+    "TextureRenderer",
 ]
