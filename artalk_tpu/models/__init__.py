@@ -7,8 +7,23 @@ from .wav2vec import Wav2VecEncoder
 from .hubert import HubertEncoder
 from .ar_model import BitwiseARModel
 from .flame import FlameModel
-from .renderer import MeshRenderer
-from .renderer_extras import PointRenderer, TextureRenderer
+
+_LAZY = {
+    # renderers pull in the Pallas kernels; import only on use so audio-only
+    # and training paths don't pay for them
+    "MeshRenderer": ".renderer",
+    "PointRenderer": ".renderer_extras",
+    "TextureRenderer": ".renderer_extras",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "BitwiseVAE",

@@ -116,8 +116,7 @@ class GAGAvatar:
         self._feature_cache = None
         self._upper_points = None
         self._frame_fn = jax.jit(self._frame_step)
-        self._chunk_fn = None
-        self._chunk_flame = None
+        self._chunk_fns = {}
 
     # ----------------------------------------------------------------- params
 
@@ -275,12 +274,14 @@ class GAGAvatar:
         return frames, carry_out
 
     def _get_chunk_fn(self, flame_model, colorspace: str):
+        # keyed cache: alternating colorspace / flame model must not discard
+        # compiled executables (each TPU recompile is minutes over a tunnel)
         key = (id(flame_model), colorspace)
-        if self._chunk_fn is None or self._chunk_flame != key:
-            self._chunk_flame = key
+        fn = self._chunk_fns.get(key)
+        if fn is None:
             step = functools.partial(self._chunk_step, flame_model, colorspace)
-            self._chunk_fn = jax.jit(step)
-        return self._chunk_fn
+            fn = self._chunk_fns[key] = jax.jit(step)
+        return fn
 
     def render_motion_sequence(self, avatar_id: str, motions: jnp.ndarray,
                                flame_model, transfer_chunk: int = 25,

@@ -219,6 +219,13 @@ class TextureRenderer:
         tex = jnp.asarray(texture_images)
         if tex.ndim == 3:
             tex = jnp.broadcast_to(tex[None], (b,) + tex.shape)
+        if transform_matrix is None:
+            # the reference's fixed default camera (renderer_utils.py:59-64):
+            # R = diag(-1, 1, -1), T = (0, 0, 2)
+            transform_matrix = jnp.asarray(
+                [[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]])
+            transform_matrix = jnp.concatenate(
+                [transform_matrix, jnp.asarray([[0.0], [0.0], [2.0]])], axis=1)
         transform = jnp.asarray(transform_matrix, jnp.float32)
         if transform.ndim == 2:
             transform = jnp.broadcast_to(transform[None], (b, 3, 4))

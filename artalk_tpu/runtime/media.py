@@ -93,12 +93,36 @@ def rgb_to_yuv420(frames: np.ndarray):
     return y, u, v
 
 
+def _fps_rational(fps: float):
+    return (int(fps), 1) if float(fps).is_integer() else \
+        (int(round(fps * 1001)), 1001)
+
+
+def _y4m_header(w: int, h: int, fps_num: int, fps_den: int) -> bytes:
+    return f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n".encode()
+
+
+def write_y4m_planar(path: str, frames: np.ndarray, fps: float = 25.0) -> str:
+    """Write a YUV4MPEG2 file from pre-converted planar yuv420p frames
+    (T, H * 3 // 2, W) uint8 -- e.g. straight off the device
+    (ops/colorspace.py) -- with zero conversion work."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    t, h32, w = frames.shape
+    h = h32 * 2 // 3
+    fps_num, fps_den = _fps_rational(fps)
+    with open(path, "wb") as f:
+        f.write(_y4m_header(w, h, fps_num, fps_den))
+        for i in range(t):
+            f.write(b"FRAME\n")
+            f.write(frames[i].tobytes())
+    return path
+
+
 def write_y4m(path: str, frames: np.ndarray, fps: float = 25.0) -> str:
     """Write a YUV4MPEG2 file (codec-free, playable by mpv/ffplay/VLC)."""
     frames = np.ascontiguousarray(frames, np.uint8)
     t, h, w, _ = frames.shape
-    fps_num, fps_den = (int(fps), 1) if float(fps).is_integer() else \
-        (int(round(fps * 1001)), 1001)
+    fps_num, fps_den = _fps_rational(fps)
     lib = _get_lib()
     if lib is not None:
         rc = lib.write_y4m(path.encode(), frames.ctypes.data, t, h, w,
@@ -108,8 +132,7 @@ def write_y4m(path: str, frames: np.ndarray, fps: float = 25.0) -> str:
         return path
     y, u, v = _rgb_to_yuv420_numpy(frames)
     with open(path, "wb") as f:
-        f.write(f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n"
-                .encode())
+        f.write(_y4m_header(w, h, fps_num, fps_den))
         for i in range(t):
             f.write(b"FRAME\n")
             f.write(y[i].tobytes())

@@ -71,6 +71,13 @@ def _write_av(frames, path, fps, audio, sample_rate, acodec, pix_fmt="rgb24"):
     stream.height = height
     stream.pix_fmt = "yuv420p"
     stream.options = {"crf": "18"}
+    if yuv:
+        # device planes are BT.601 FULL range (ops/colorspace.py); signal it
+        # so decoders don't expand 0-255 as if it were limited/tv range
+        try:
+            stream.codec_context.color_range = 2  # AVCOL_RANGE_JPEG
+        except (AttributeError, ValueError):  # pragma: no cover - PyAV version
+            pass
     audio_stream = None
     if audio is not None:
         audio_stream = container.add_stream(acodec if acodec == "aac" else "mp3",
@@ -113,10 +120,15 @@ def _write_ffmpeg(frames, path, fps, audio, sample_rate, pix_fmt="rgb24"):
         np.asarray(audio, np.float32).tofile(audio_file)
         audio_args = ["-f", "f32le", "-ar", str(sample_rate), "-ac", "1",
                       "-i", audio_file, "-c:a", "aac", "-shortest"]
+    # device yuv planes are BT.601 FULL range (ops/colorspace.py): declare the
+    # input range and keep it on output so players don't mis-expand levels
+    range_in = ["-color_range", "pc"] if pix_fmt == "yuv420" else []
+    range_out = ["-color_range", "pc"] if pix_fmt == "yuv420" else []
     cmd = [
-        "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", in_fmt,
+        "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", in_fmt, *range_in,
         "-s", f"{w}x{h}", "-r", str(fps), "-i", "-", *audio_args,
-        "-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", "18", path,
+        "-c:v", "libx264", "-pix_fmt", "yuv420p", *range_out, "-crf", "18",
+        path,
     ]
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -136,16 +148,7 @@ def _write_y4m_wav(frames, path, fps, audio, sample_rate, pix_fmt="rgb24") -> st
     out = os.path.splitext(path)[0] + ".y4m"
     if pix_fmt == "yuv420":
         # device-converted planes: stream straight to disk, no host conversion
-        t, h32, w = frames.shape
-        h = h32 * 2 // 3
-        fps_num, fps_den = (int(fps), 1) if float(fps).is_integer() else \
-            (int(round(fps * 1001)), 1001)
-        with open(out, "wb") as f:
-            f.write(f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 "
-                    "C420jpeg\n".encode())
-            for i in range(t):
-                f.write(b"FRAME\n")
-                f.write(frames[i].tobytes())
+        media.write_y4m_planar(out, frames, fps=fps)
     else:
         media.write_y4m(out, frames, fps=fps)
     if audio is not None:

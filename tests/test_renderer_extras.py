@@ -128,3 +128,16 @@ def test_texture_renderer_face_mask_and_lights(quad):
     expected = 2.0 * float(1 / np.sqrt(4 * np.pi))
     np.testing.assert_allclose(images[0, :, masks_all[0, 0]], expected, atol=1e-4)
     assert np.all(images[0, :, ~masks_all[0, 0]] == 0.0)
+
+
+def test_texture_renderer_default_camera(quad):
+    """No transform_matrix -> the reference's fixed default camera
+    (renderer_utils.py:59-64) instead of a crash."""
+    verts, faces, tuv = quad
+    tr = TextureRenderer(tuv, interpret=True)
+    tex = jnp.asarray(np.full((3, 4, 4), 0.5, np.float32))
+    images, masks_all, _ = tr(jnp.asarray(verts[None]), tex, image_size=128,
+                              focal_length=2.0)
+    assert np.asarray(masks_all).any()
+    np.testing.assert_allclose(
+        np.asarray(images)[0, :, np.asarray(masks_all)[0, 0]], 0.5, atol=1e-4)
