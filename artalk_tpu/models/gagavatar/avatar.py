@@ -117,6 +117,7 @@ class GAGAvatar:
         self._upper_points = None
         self._frame_fn = jax.jit(self._frame_step)
         self._chunk_fns = {}
+        self._gs_compute_fn = None
 
     # ----------------------------------------------------------------- params
 
@@ -160,35 +161,42 @@ class GAGAvatar:
 
     # ------------------------------------------------------------- build once
 
+    def _gs_params_compute(self, params, image, plane_dirs, plane_points):
+        """Pure jittable part of the one-time avatar encode (models.py:65-87);
+        compiled so an avatar switch is one dispatch, not hundreds."""
+        f_image = resize_antialias(image, 518, 518)
+        f_feature0, f_feature1 = self.base_model(params["base_model"], f_image)
+        direnc = harmonic_embedding(plane_dirs)
+        head = jnp.concatenate([
+            jnp.broadcast_to(params["head_base"][None], (1, NUM_FLAME_VERTS, 256)),
+            jnp.broadcast_to(f_feature1[:, None], (1, NUM_FLAME_VERTS, f_feature1.shape[-1])),
+        ], axis=-1)
+        gs_g = self.gs_generator_g(params["gs_generator_g"], head, direnc)
+        gs_g["xyz"] = jnp.zeros((1, NUM_FLAME_VERTS, 3))
+        gs_l0 = self.gs_generator_l0(params["gs_generator_l0"], f_feature0, direnc)
+        gs_l1 = self.gs_generator_l1(params["gs_generator_l1"], f_feature0, direnc)
+        gs_l0["xyz"] = plane_points + gs_l0.pop("positions") * plane_dirs[:, None]
+        gs_l1["xyz"] = plane_points - gs_l1.pop("positions") * plane_dirs[:, None]
+        return {
+            k: jnp.concatenate([gs_g[k], gs_l0[k], gs_l1[k]], axis=1)
+            for k in gs_g.keys()
+        }
+
     def _build_gs_params(self):
         """Encode the source image once -> cached gaussian parameters
         (models.py:65-87)."""
         tracked = self._tracked
         assert tracked is not None, "call set_avatar_id first"
         image = jnp.asarray(tracked["image"])[None]            # (1, 3, H, W)
-        f_image = resize_antialias(image, 518, 518)
         transform = tracked["transform_matrix"]
         planes = build_points_planes(PLANE_SIZE, transform)
         plane_dirs = jnp.asarray(planes["plane_dirs"])[None]
         plane_points = jnp.asarray(planes["plane_points"])[None]
 
-        p = self.params
-        f_feature0, f_feature1 = self.base_model(p["base_model"], f_image)
-        direnc = harmonic_embedding(plane_dirs)
-        head = jnp.concatenate([
-            jnp.broadcast_to(p["head_base"][None], (1, NUM_FLAME_VERTS, 256)),
-            jnp.broadcast_to(f_feature1[:, None], (1, NUM_FLAME_VERTS, f_feature1.shape[-1])),
-        ], axis=-1)
-        gs_g = self.gs_generator_g(p["gs_generator_g"], head, direnc)
-        gs_g["xyz"] = jnp.zeros((1, NUM_FLAME_VERTS, 3))
-        gs_l0 = self.gs_generator_l0(p["gs_generator_l0"], f_feature0, direnc)
-        gs_l1 = self.gs_generator_l1(p["gs_generator_l1"], f_feature0, direnc)
-        gs_l0["xyz"] = plane_points + gs_l0.pop("positions") * plane_dirs[:, None]
-        gs_l1["xyz"] = plane_points - gs_l1.pop("positions") * plane_dirs[:, None]
-        self._gs_params = {
-            k: jnp.concatenate([gs_g[k], gs_l0[k], gs_l1[k]], axis=1)
-            for k in gs_g.keys()
-        }
+        if self._gs_compute_fn is None:
+            self._gs_compute_fn = jax.jit(self._gs_params_compute)
+        self._gs_params = self._gs_compute_fn(self.params, image, plane_dirs,
+                                              plane_points)
         self._feature_cache = {
             "transform": jnp.asarray(
                 transform[:3] if transform.shape[0] >= 3 else transform),

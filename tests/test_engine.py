@@ -97,3 +97,11 @@ def test_smooth_motion_savgol_static(rng):
     ref = savgol_filter(motion, 5, 2, axis=0)
     ref[..., 100:103] = savgol_filter(motion[..., 100:103], 9, 3, axis=0)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_app_gradio_imports_without_gradio():
+    """The web UI module must import cleanly when gradio is absent (it is
+    gated; launching raises a clear error instead)."""
+    import artalk_tpu.app_gradio as app
+
+    assert hasattr(app, "run_gradio_app")
