@@ -38,9 +38,16 @@ def kaiming_uniform(key, shape, fan_in: int, a: float = math.sqrt(5), dtype=jnp.
     return uniform_init(key, shape, bound, dtype)
 
 
-def trunc_normal(key, shape, std: float = 1.0, mean: float = 0.0, dtype=jnp.float32):
-    """Truncated normal on (-2, 2) std intervals, matching nn.init.trunc_normal_."""
-    x = jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+def trunc_normal(key, shape, std: float = 1.0, mean: float = 0.0,
+                 a: float = -2.0, b: float = 2.0, dtype=jnp.float32):
+    """Truncated normal matching nn.init.trunc_normal_: ``a``/``b`` are
+    ABSOLUTE bounds (torch semantics), not multiples of std. With the small
+    stds the reference uses (e.g. 0.02 for pos/lvl embeddings) the default
+    (-2, 2) window is effectively untruncated; truncating at +/-2 sigma
+    instead would clip 4.6% of the mass and shrink the effective std ~12%."""
+    lo = max((a - mean) / std, -10.0)
+    hi = min((b - mean) / std, 10.0)
+    x = jax.random.truncated_normal(key, lo, hi, shape, dtype)
     return x * std + mean
 
 

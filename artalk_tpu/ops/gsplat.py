@@ -38,9 +38,18 @@ CHANNELS = 32
 GTILE_H = 16       # pixel tile for the splat kernel
 GTILE_W = 128
 GCHUNK = 256       # gaussians per compositing step (512 overflows scoped VMEM)
-DUP_X = 2          # tile slots per gaussian in x (128-px tiles: covers r<128)
-DUP_Y = 4          # tile slots per gaussian in y (16-px tiles: covers r<32)
+DUP_X = 2          # tile slots per gaussian in x (128-px tiles)
+DUP_Y = 4          # tile slots per gaussian in y (16-px tiles)
 DUP = DUP_X * DUP_Y
+# Guaranteed full-coverage radius of the bbox-anchored DUP_Y x DUP_X window:
+# the anchor tile eats up to one tile of slack, so a 2r-wide bbox always fits
+# iff 2r <= (DUP-1) * tile. Splats larger than this are clamped at emission
+# time (centered truncation beyond +/-MAX_R* of the mean; alpha there is
+# <= exp(-4.5) of peak at the 3-sigma radius, so the cut is invisible for
+# realistic opacities). The reference CUDA rasterizer instead duplicates into
+# every overlapped tile (dynamic instance counts -- not static-shape friendly).
+MAX_RX = (DUP_X - 1) * GTILE_W // 2    # 64 px
+MAX_RY = (DUP_Y - 1) * GTILE_H // 2    # 24 px
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
 
@@ -247,17 +256,21 @@ def _build_instances(comp: dict, opac, colors, size: int):
     # bbox-anchored tile slots: DUP_Y x DUP_X tiles starting at the bbox's
     # top-left tile, clipped against the pixel bbox (radius); slots outside go
     # to a trash tile. (Anchoring at the bbox corner covers tall splats that a
-    # center-anchored neighborhood would truncate.)
-    cx0 = jnp.floor((mx_s - radius_s) / GTILE_W)
-    cy0 = jnp.floor((my_s - radius_s) / GTILE_H)
+    # center-anchored neighborhood would truncate.) Emission radii are clamped
+    # to the duplication budget per axis (MAX_RX/MAX_RY) so splats larger than
+    # the window degrade as a centered crop instead of losing whole sides.
+    rx = jnp.minimum(radius_s, float(MAX_RX))
+    ry = jnp.minimum(radius_s, float(MAX_RY))
+    cx0 = jnp.floor((mx_s - rx) / GTILE_W)
+    cy0 = jnp.floor((my_s - ry) / GTILE_H)
     offs = [(dy, dx) for dy in range(DUP_Y) for dx in range(DUP_X)]
     ty = jnp.stack([cy0 + dy for dy, _ in offs])           # (DUP, N)
     tx = jnp.stack([cx0 + dx for _, dx in offs])
     # tile pixel bounds
     x0, x1 = tx * GTILE_W, (tx + 1) * GTILE_W
     y0, y1 = ty * GTILE_H, (ty + 1) * GTILE_H
-    gx0, gx1 = mx_s - radius_s, mx_s + radius_s
-    gy0, gy1 = my_s - radius_s, my_s + radius_s
+    gx0, gx1 = mx_s - rx, mx_s + rx
+    gy0, gy1 = my_s - ry, my_s + ry
     overlap = (gx1 >= x0) & (gx0 <= x1) & (gy1 >= y0) & (gy0 <= y1)
     valid = overlap & (tx >= 0) & (tx < tiles_x) & (ty >= 0) & (ty < tiles_y) \
         & (opac_s > 0) & (radius_s > 0)

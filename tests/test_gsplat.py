@@ -89,3 +89,34 @@ def test_front_to_back_order(rng):
     # camera looks along -z from z=+9.77: z=+0.5 is nearer; its color is 1
     center = out[:, 64, 64]
     assert center.min() > 0.9, center[:4]
+
+
+def test_oversized_splat_renders_centered_crop():
+    """A splat wider than the 2x4 duplication budget must degrade as a
+    centered crop around its mean (emission radius clamped to MAX_RX/MAX_RY),
+    not vanish or lose whole sides to bbox-anchor underflow."""
+    from artalk_tpu.ops.gsplat import MAX_RY
+
+    xyz = jnp.asarray(np.zeros((1, 3), np.float32))
+    colors = jnp.asarray(np.ones((1, 32), np.float32))
+    opac = jnp.asarray(np.array([[0.9]], np.float32))
+    scales = jnp.asarray(np.full((1, 3), 0.7, np.float32))  # ~165 px radius
+    q = jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))
+    args = (xyz, colors, opac, scales, q, jnp.asarray(CAM))
+
+    _, _, _, radius, _ = project_gaussians(xyz, scales, q, jnp.asarray(CAM),
+                                           12.0, 128)
+    assert float(np.asarray(radius)[0]) > 2 * MAX_RY  # genuinely oversized
+
+    ref = np.asarray(rasterize_gaussians_reference(*args, focal=12.0, size=128))
+    got = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                         interpret=True))
+    # center pixel composites exactly like the untruncated oracle
+    np.testing.assert_allclose(got[:, 64, 64], ref[:, 64, 64], atol=1e-4)
+    # rows within +/-MAX_RY of the mean are fully covered
+    np.testing.assert_allclose(got[:, 64 - MAX_RY + 1, 64],
+                               ref[:, 64 - MAX_RY + 1, 64], atol=1e-4)
+    # far rows are the documented centered truncation: oracle sees the tail,
+    # the tiled kernel does not
+    assert ref[0, 0, 64] > 0.01
+    np.testing.assert_array_equal(got[:, 0, 64], 0.0)
