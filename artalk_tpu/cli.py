@@ -28,6 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_shape_id(engine, shape_id: str, load_gaga: bool) -> str:
+    """Mirror the reference CLI (inference.py:225-227): a shape_id that is not
+    in the avatar bank (or no GAGA renderer loaded at all) renders 'mesh'."""
+    if shape_id == "mesh":
+        return "mesh"
+    bank = engine.gagavatar.all_gagavatar_id if load_gaga else {}
+    if shape_id not in bank:
+        print(f"[artalk_tpu] shape_id {shape_id!r} not in the avatar bank"
+              f"{'' if load_gaga else ' (--load_gaga not set)'}; "
+              "rendering 'mesh' instead")
+        return "mesh"
+    return shape_id
+
+
 def main(argv=None) -> str:
     args = build_parser().parse_args(argv)
     engine = ARTAvatarInferEngine(
@@ -45,12 +59,13 @@ def main(argv=None) -> str:
     audio = load_audio_16k_mono(args.audio_path)
     base = os.path.splitext(os.path.basename(args.audio_path))[0]
     save_name = f"{base}_{args.style_id.replace('.', '_')}_{args.shape_id.replace('.', '_')}"
+    shape_id = resolve_shape_id(engine, args.shape_id, args.load_gaga)
     if args.style_id != "default":
         engine.set_style_motion(args.style_id)
     print("Inferring motion...")
     motions = engine.inference(audio)
     print("Rendering...")
-    out = engine.rendering(audio, motions, shape_id=args.shape_id, save_name=save_name)
+    out = engine.rendering(audio, motions, shape_id=shape_id, save_name=save_name)
     print(f"Saved {out}")
     return out
 

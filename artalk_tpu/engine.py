@@ -192,6 +192,11 @@ class ARTAvatarInferEngine:
             with GLOBAL_METRICS.stage("render.rasterize"):
                 frames = self.mesh_renderer.render_frames(verts, colorspace="yuv420")
         else:
+            if not hasattr(self, "gagavatar"):
+                raise RuntimeError(
+                    f"shape_id={shape_id!r} requires the GAGAvatar renderer; "
+                    "construct ARTAvatarInferEngine(load_gaga=True) or use "
+                    "shape_id='mesh'")
             frames = self.gagavatar.render_motion_sequence(
                 shape_id, pred_motions, self.gagavatar_flame, colorspace="yuv420")
         audio = np.asarray(audio, np.float32).reshape(-1)

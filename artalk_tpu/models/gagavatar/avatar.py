@@ -30,6 +30,7 @@ from .dino import DinoDPT
 from .generators import (ConvGSGenerator, LinearGSGenerator, build_points_planes,
                          harmonic_embedding, transform_emoca_to_p3d)
 from .style_unet import StyleUNet
+from .watermark import apply_watermark, load_watermark
 
 # FLAME forehead vertex indices smoothed with an EMA (models.py:326-331)
 FOREHEAD_INDICES = np.array([
@@ -111,6 +112,9 @@ class GAGAvatar:
         self.params = params
 
         self.all_gagavatar_id = self._load_avatar_bank()
+        # logo watermark, blended into every frame when the asset exists
+        # (reference applies it unconditionally, models.py:95,131-138)
+        self._watermark = load_watermark(assets_dir)
         self._tracked: Optional[Dict[str, np.ndarray]] = None
         self._gs_params = None
         self._feature_cache = None
@@ -213,7 +217,7 @@ class GAGAvatar:
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
             interpret=self.interpret)
         sr = self.upsampler(upsampler_params, render[None])
-        return jnp.clip(sr, 0.0, 1.0)
+        return apply_watermark(jnp.clip(sr, 0.0, 1.0), self._watermark)
 
     def build_forward_batch(self, motion: jnp.ndarray, flame_model):
         """(1, 106) motion -> dict for forward_expression (models.py:98-128).
@@ -273,6 +277,7 @@ class GAGAvatar:
                 focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
                 interpret=self.interpret)
             sr = jnp.clip(self.upsampler(upsampler_params, render[None]), 0.0, 1.0)
+            sr = apply_watermark(sr, self._watermark)
             if colorspace == "yuv420":
                 return _, rgb_to_yuv420p(sr, channel_axis=1)[0]
             rgb = jnp.clip(sr[0].transpose(1, 2, 0) * 255.0, 0.0, 255.0)
