@@ -314,17 +314,31 @@ class BitwiseARModel:
             [np.zeros((self.total_tokens, self.prev_len), np.float32), mask], axis=1)
         return jnp.asarray(full)[None, None]
 
+    def drop_path_rates(self) -> jnp.ndarray:
+        """Per-block stochastic-depth rates, as the reference architecture
+        declares them: dpr = linspace(0, 0.1 * depth / 24, depth)
+        (models.py:35, consumed by transformer.py:82-96)."""
+        return jnp.linspace(0.0, 0.1 * self.depth / 24.0, self.depth)
+
     def forward_logits(self, params: nn.Params, tokens: jnp.ndarray,
-                       audio_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray
+                       audio_cond: jnp.ndarray, prev_attn_feat: jnp.ndarray,
+                       drop_path_rng: Optional[jax.Array] = None
                        ) -> jnp.ndarray:
         """Teacher-forced full-sequence forward: all 181 token inputs at once
-        -> per-position bit logits (B, 181, code_dim, 2). Differentiable."""
+        -> per-position bit logits (B, 181, code_dim, 2). Differentiable.
+
+        ``drop_path_rng`` enables train-mode DropPath (stochastic depth): each
+        residual branch of block i is dropped per-sample with probability
+        dpr[i] and rescaled by 1/keep (timm semantics, transformer.py:82-96).
+        With ``None`` (eval / inference) both branches are identity, so decode
+        bits are untouched by this option.
+        """
         bias = self.var_attn_bias()
         prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
         x = tokens + self.lvl_pos_embed(params)
         max_scale = math.log(100.0)
 
-        def block_body(h, block):
+        def block_core(h, block, drop):
             ada = nn.linear(block["ada_lin"], nn.silu(audio_cond))
             g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=-1)
             hm = nn.layer_norm(h, eps=1e-6) * (s1 + 1.0) + sh1
@@ -335,12 +349,35 @@ class BitwiseARModel:
             k = nn.l2_normalize(nn.split_heads(nn.linear(block["k"], kv_in), self.num_heads))
             v = nn.split_heads(nn.linear(block["v"], kv_in), self.num_heads)
             attn = nn.sdpa(q, k, v, scale=1.0, bias=bias)
-            h = h + nn.linear(block["proj"], nn.merge_heads(attn)) * g1
+            h = h + drop(0, nn.linear(block["proj"], nn.merge_heads(attn)) * g1)
             hm2 = nn.layer_norm(h, eps=1e-6) * (s2 + 1.0) + sh2
-            h = h + nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], hm2))) * g2
-            return h, None
+            h = h + drop(1, nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], hm2))) * g2)
+            return h
 
-        x, _ = jax.lax.scan(block_body, x, params["blocks"])
+        if drop_path_rng is None:
+            def block_body(h, block):
+                return block_core(h, block, lambda _i, branch: branch), None
+
+            x, _ = jax.lax.scan(block_body, x, params["blocks"])
+        else:
+            keys = jax.random.split(drop_path_rng, self.depth * 2)
+            # works for both typed keys (n,) and legacy uint32 keys (n, 2)
+            branch_keys = keys.reshape((self.depth, 2) + keys.shape[1:])
+
+            def block_body(h, inp):
+                block, rate, keys2 = inp
+
+                def drop(i, branch):
+                    keep = 1.0 - rate
+                    mask = jax.random.bernoulli(keys2[i], keep,
+                                                (branch.shape[0], 1, 1))
+                    return branch * mask.astype(branch.dtype) / keep
+
+                return block_core(h, block, drop), None
+
+            x, _ = jax.lax.scan(
+                block_body, x,
+                (params["blocks"], self.drop_path_rates(), branch_keys))
         head = params["head"]
         scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(audio_cond)), 2, axis=-1)
         x = nn.layer_norm(x, eps=1e-6) * (scale + 1.0) + shift

@@ -25,13 +25,16 @@ def vae_loss(vae: BitwiseVAE, params, prev_motion: jnp.ndarray,
 
 def ar_loss(model: BitwiseARModel, params, audio_chunk: jnp.ndarray,
             prev_motion: jnp.ndarray, this_motion: jnp.ndarray,
-            style_motion: Optional[jnp.ndarray] = None
+            style_motion: Optional[jnp.ndarray] = None,
+            drop_path_rng: Optional[jax.Array] = None
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Stage-2 generator loss: teacher-forced per-bit cross-entropy.
 
     The VAE (frozen for this stage -- gradients stopped) encodes the motion
     pair into target bits; the AR model predicts every scale level's bits from
     the previous-window prefix + audio condition under the VAR mask.
+    ``drop_path_rng`` enables stochastic depth in the transformer (the
+    regularizer the reference architecture declares, models.py:35).
     """
     vae_params = jax.lax.stop_gradient(params["vae"])
     prev_bits, this_bits = model.vae.encode_to_bits(vae_params, prev_motion, this_motion)
@@ -51,7 +54,8 @@ def ar_loss(model: BitwiseARModel, params, audio_chunk: jnp.ndarray,
     # the reference detaches the audio condition (frozen audio encoder,
     # models.py:95) -- keep the encoder out of the gradient path
     audio_cond = jax.lax.stop_gradient(model.audio_condition(params, audio_chunk))
-    logits = model.forward_logits(params, tokens, audio_cond, prefix)  # (B,181,C,2)
+    logits = model.forward_logits(params, tokens, audio_cond, prefix,
+                                  drop_path_rng=drop_path_rng)  # (B,181,C,2)
 
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     target = this_bits  # (B, 181, C) in {0, 1}

@@ -58,14 +58,22 @@ def make_vae_train_step(vae: BitwiseVAE, optimizer, mesh: Optional[Mesh] = None)
 
 
 def make_ar_train_step(model: BitwiseARModel, optimizer, mesh: Optional[Mesh] = None,
-                       with_style: bool = False):
+                       with_style: bool = False, drop_path: bool = True,
+                       seed: int = 1234):
     """Stage-2 step: (state, audio_chunk, prev_motion, this_motion[, style])
-    -> (state, metrics). dp-sharded batch, tp-sharded transformer weights."""
+    -> (state, metrics). dp-sharded batch, tp-sharded transformer weights.
+
+    ``drop_path`` applies the reference's stochastic depth (models.py:35)
+    with a per-step rng derived deterministically from the step counter."""
 
     def step(state: TrainState, audio_chunk, prev_motion, this_motion,
              style_motion=None):
+        dp_rng = (jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+                  if drop_path else None)
+
         def loss_fn(p):
-            return ar_loss(model, p, audio_chunk, prev_motion, this_motion, style_motion)
+            return ar_loss(model, p, audio_chunk, prev_motion, this_motion,
+                           style_motion, drop_path_rng=dp_rng)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -212,3 +212,47 @@ def test_sampling_is_stochastic_but_valid(model_and_params, rng):
     assert a.shape == b.shape
     assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_drop_path_train_vs_eval(model_and_params, rng):
+    """DropPath (stochastic depth, reference models.py:35 +
+    transformer.py:82-96): eval mode (rng=None) is exactly today's output;
+    train mode with dpr > 0 differs per rng key."""
+    model, params = model_and_params
+    b = 4
+    tokens = jnp.asarray(rng.standard_normal(
+        (b, model.total_tokens, model.embed_dim)).astype(np.float32))
+    audio_cond = jnp.asarray(rng.standard_normal(
+        (b, model.total_tokens, model.cfg.ar.audio_feature_dim)).astype(np.float32))
+    prefix = jnp.asarray(rng.standard_normal(
+        (b, model.prev_len, model.embed_dim)).astype(np.float32))
+
+    # declared rates: linspace(0, 0.1*depth/24, depth), block 0 identity
+    rates = np.asarray(model.drop_path_rates())
+    np.testing.assert_allclose(
+        rates, np.linspace(0.0, 0.1 * model.depth / 24.0, model.depth),
+        atol=1e-7)
+    assert rates[0] == 0.0 and rates[-1] > 0.0
+
+    eval_a = model.forward_logits(params, tokens, audio_cond, prefix)
+    eval_b = model.forward_logits(params, tokens, audio_cond, prefix,
+                                  drop_path_rng=None)
+    np.testing.assert_array_equal(np.asarray(eval_a), np.asarray(eval_b))
+
+    # force large rates so a drop is certain, then: per-key variation
+    model_hot = BitwiseARModel(CFG)
+    model_hot.drop_path_rates = lambda: jnp.full((model.depth,), 0.5)
+    t1 = model_hot.forward_logits(params, tokens, audio_cond, prefix,
+                                  drop_path_rng=jax.random.PRNGKey(0))
+    t2 = model_hot.forward_logits(params, tokens, audio_cond, prefix,
+                                  drop_path_rng=jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.array_equal(np.asarray(t1), np.asarray(eval_a))
+    assert np.isfinite(np.asarray(t1)).all()
+
+    # rate 0 everywhere: train path must reduce to eval exactly
+    model_zero = BitwiseARModel(CFG)
+    model_zero.drop_path_rates = lambda: jnp.zeros((model.depth,))
+    t0 = model_zero.forward_logits(params, tokens, audio_cond, prefix,
+                                   drop_path_rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(eval_a), atol=1e-6)
