@@ -143,6 +143,19 @@ class FlameModel:
         # lmk_embeddings; FLAME.py:50-57)
         self.lmk_faces_idx = data.get("full_lmk_faces_idx")
         self.lmk_bary_coords = data.get("full_lmk_bary_coords")
+        # optional dynamic contour tables: 79 yaw-indexed variants of the
+        # 17-point jaw contour (FLAME.py:52-53)
+        self.dynamic_lmk_faces_idx = data.get("dynamic_lmk_faces_idx")
+        self.dynamic_lmk_bary_coords = data.get("dynamic_lmk_bary_coords")
+        # neck->root joint chain for the relative yaw (FLAME.py:59-66)
+        parents_orig = np.asarray(data["parents"], np.int64)
+        chain, cur = [], 1  # NECK_IDX = 1
+        while True:
+            chain.append(cur)
+            if cur == 0:
+                break
+            cur = int(parents_orig[cur])
+        self.neck_kin_chain = np.asarray(chain, np.int64)
 
     def landmarks(self, vertices: jnp.ndarray, refine_eyes: bool = True) -> jnp.ndarray:
         """(B, V, 3) verts -> (B, 70, 3) landmarks (FLAME.py:150-156).
@@ -153,6 +166,32 @@ class FlameModel:
         if refine_eyes and vertices.shape[1] == 5023:
             lmks = reselect_eyes(vertices, lmks)
         return lmks
+
+    def dynamic_landmarks(self, vertices: jnp.ndarray,
+                          pose_params: jnp.ndarray) -> jnp.ndarray:
+        """Pose-dependent 17-point face contour (FLAME.py:71-115): the
+        relative y-rotation of the neck kinematic chain selects one of 79
+        precomputed contour tables (yaw -39..+39 deg in 1-deg steps, extremes
+        clamped), then barycentric interpolation on the selected faces.
+
+        vertices (B, V, 3); pose_params (B, 6 | 3) in the reference layout
+        [global(3), jaw(3)] (3-d means jaw-only, like ``__call__``).
+        Returns (B, 17, 3) contour landmarks (unscaled, like ``landmarks``).
+        """
+        assert self.dynamic_lmk_faces_idx is not None, \
+            "asset has no dynamic landmark tables"
+        batch = vertices.shape[0]
+        if pose_params.shape[-1] == 3:
+            pose_params = jnp.concatenate(
+                [jnp.zeros((batch, 3), pose_params.dtype), pose_params], axis=-1)
+        neck = jnp.zeros((batch, 3), pose_params.dtype)
+        eyes = jnp.zeros((batch, 6), pose_params.dtype)
+        full_pose = jnp.concatenate(
+            [pose_params[:, :3], neck, pose_params[:, 3:], eyes], axis=1)
+        fidx, bary = find_dynamic_lmk_idx_and_bcoords(
+            full_pose, self.dynamic_lmk_faces_idx,
+            self.dynamic_lmk_bary_coords, self.neck_kin_chain)
+        return vertices2landmarks_batched(vertices, self.faces, fidx, bary)
 
     def __call__(self, shape_params: jnp.ndarray,
                  expression_params: jnp.ndarray,
@@ -200,6 +239,50 @@ def vertices2landmarks(vertices: jnp.ndarray, faces: np.ndarray,
     tri = faces[np.asarray(lmk_faces_idx, np.int64)]     # (L, 3) static gather
     lmk_verts = vertices[:, tri]                         # (B, L, 3, 3)
     return jnp.einsum("blfi,lf->bli", lmk_verts, jnp.asarray(lmk_bary_coords))
+
+
+def vertices2landmarks_batched(vertices: jnp.ndarray, faces: np.ndarray,
+                               lmk_faces_idx: jnp.ndarray,
+                               lmk_bary_coords: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric landmark interpolation with per-batch face indices
+    (lbs.py:103-139 as used by the dynamic contour path).
+
+    vertices (B, V, 3); faces (F, 3); lmk_faces_idx (B, L); bary (B, L, 3).
+    """
+    tri = jnp.asarray(faces, jnp.int32)[lmk_faces_idx]   # (B, L, 3)
+
+    def one(v, t, bc):
+        return jnp.einsum("lfi,lf->li", v[t], bc)
+
+    return jax.vmap(one)(vertices, tri, lmk_bary_coords)
+
+
+def find_dynamic_lmk_idx_and_bcoords(full_pose: jnp.ndarray,
+                                     dynamic_lmk_faces_idx,
+                                     dynamic_lmk_bary_coords,
+                                     neck_kin_chain: np.ndarray
+                                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the yaw-dependent face contour table (FLAME.py:71-115).
+
+    full_pose (B, J*3) axis-angle; the chain joints' rotations compose into a
+    relative rotation whose y-euler angle (deg, clamped to max 39, negatives
+    mapped to indices 40..78, below -39 to 78) indexes the 79-entry tables.
+    Returns (faces_idx (B, L), bary (B, L, 3)).
+    """
+    b = full_pose.shape[0]
+    aa = full_pose.reshape(b, -1, 3)[:, np.asarray(neck_kin_chain)]
+    rots = batch_rodrigues(aa)                           # (B, C, 3, 3)
+    rel = jnp.broadcast_to(jnp.eye(3, dtype=full_pose.dtype), (b, 3, 3))
+    for i in range(len(neck_kin_chain)):
+        rel = jnp.matmul(rots[:, i], rel)
+    sy = jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
+    deg = jnp.arctan2(-rel[:, 2, 0], sy) * (180.0 / np.pi)
+    angle = jnp.round(jnp.minimum(deg, 39.0)).astype(jnp.int32)
+    neg_vals = jnp.where(angle < -39, 78, 39 - angle)
+    idx = jnp.where(angle < 0, neg_vals, angle)
+    faces = jnp.asarray(dynamic_lmk_faces_idx, jnp.int32)[idx]
+    bary = jnp.asarray(dynamic_lmk_bary_coords, jnp.float32)[idx]
+    return faces, bary
 
 
 # 70-landmark eye refinement (FLAME.py:194-204): specific eyeball vertices

@@ -87,6 +87,12 @@ def synthetic_flame(num_verts: int = NUM_VERTS, num_faces: int = 9976,
     flip = (n * c).sum(-1) < 0
     faces[flip] = faces[flip][:, ::-1]
 
+    # dynamic contour tables: 79 yaw-indexed variants of a 17-point contour
+    # (same shapes as the reference's lmk_embeddings, FLAME.py:52-53)
+    dyn_faces = rng.integers(0, len(faces), (79, 17)).astype(np.int64)
+    dyn_bary = rng.random((79, 17, 3)).astype(np.float32)
+    dyn_bary /= dyn_bary.sum(axis=-1, keepdims=True)
+
     return {
         "v_template": v_template,
         "shapedirs": shapedirs.astype(np.float32),
@@ -95,6 +101,8 @@ def synthetic_flame(num_verts: int = NUM_VERTS, num_faces: int = 9976,
         "parents": PARENTS,
         "lbs_weights": lbs_weights,
         "faces": faces,
+        "dynamic_lmk_faces_idx": dyn_faces,
+        "dynamic_lmk_bary_coords": dyn_bary,
     }
 
 

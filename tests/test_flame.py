@@ -120,3 +120,70 @@ def test_motion_to_verts_layout(flame, rng):
     v_fixed = np.asarray(model.motion_to_verts(jnp.asarray(shape), jnp.asarray(motion), False))
     np.testing.assert_allclose(v_fixed, v_fixed_ref, atol=1e-6)
     assert not np.allclose(v_global, v_fixed)
+
+
+def test_dynamic_landmarks_match_numpy_oracle(flame, rng):
+    """Dynamic contour selection (FLAME.py:71-115): yaw-indexed table lookup
+    + barycentric interpolation, vs an independent scipy/NumPy oracle."""
+    from scipy.spatial.transform import Rotation
+
+    model, data = flame
+    b = 9
+    # pose layout [global(3), jaw(3)]; include pure-yaw extremes that hit the
+    # clamp (+39), the negative remap (40..78) and the below--39 bucket (78)
+    yaw_deg = np.array([-60.0, -39.4, -12.2, -0.4, 0.0, 0.4, 12.7, 39.4, 60.0])
+    pose = rng.standard_normal((b, 6)).astype(np.float32) * 0.05
+    pose[:, 1] = np.deg2rad(yaw_deg)  # axis-angle y component ~ yaw
+    verts = model(jnp.zeros((b, 300)), jnp.zeros((b, 100)),
+                  jnp.asarray(pose)) / model.scale
+
+    got = np.asarray(model.dynamic_landmarks(verts, jnp.asarray(pose)))
+
+    # oracle: relative rotation over chain [neck, global] with neck = 0
+    v = np.asarray(verts)
+    rel = Rotation.from_rotvec(pose[:, :3]).as_matrix()  # global @ I(neck)
+    sy = np.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
+    deg = np.degrees(np.arctan2(-rel[:, 2, 0], sy))
+    angle = np.round(np.minimum(deg, 39.0)).astype(np.int64)
+    idx = np.where(angle < 0,
+                   np.where(angle < -39, 78, 39 - angle), angle)
+    exp_lmks = np.zeros((b, 17, 3), np.float32)
+    for i in range(b):
+        fidx = data["dynamic_lmk_faces_idx"][idx[i]]
+        bary = data["dynamic_lmk_bary_coords"][idx[i]]
+        tri = data["faces"][fidx]                       # (17, 3)
+        exp_lmks[i] = np.einsum("lfi,lf->li", v[i][tri], bary)
+    np.testing.assert_allclose(got, exp_lmks, atol=1e-5)
+
+    # index-level checks of the remap
+    from artalk_tpu.models.flame import find_dynamic_lmk_idx_and_bcoords
+
+    full_pose = np.zeros((b, 15), np.float32)
+    full_pose[:, :3] = pose[:, :3]
+    fidx_got, _ = find_dynamic_lmk_idx_and_bcoords(
+        jnp.asarray(full_pose), data["dynamic_lmk_faces_idx"],
+        data["dynamic_lmk_bary_coords"], model.neck_kin_chain)
+    np.testing.assert_array_equal(
+        np.asarray(fidx_got), data["dynamic_lmk_faces_idx"][idx])
+
+
+def test_dynamic_landmarks_neck_composes(flame, rng):
+    """The chain composes global @ neck: a yaw split across both joints must
+    select the same table as the summed yaw on one joint."""
+    import jax.numpy as jnp2
+
+    from artalk_tpu.models.flame import find_dynamic_lmk_idx_and_bcoords
+
+    model, data = flame
+    full_a = np.zeros((1, 15), np.float32)
+    full_a[0, 1] = np.deg2rad(20.0)   # global yaw 20
+    full_a[0, 4] = np.deg2rad(10.0)   # neck yaw 10
+    full_b = np.zeros((1, 15), np.float32)
+    full_b[0, 1] = np.deg2rad(30.0)   # all on global
+    fa, _ = find_dynamic_lmk_idx_and_bcoords(
+        jnp2.asarray(full_a), data["dynamic_lmk_faces_idx"],
+        data["dynamic_lmk_bary_coords"], model.neck_kin_chain)
+    fb, _ = find_dynamic_lmk_idx_and_bcoords(
+        jnp2.asarray(full_b), data["dynamic_lmk_faces_idx"],
+        data["dynamic_lmk_bary_coords"], model.neck_kin_chain)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))

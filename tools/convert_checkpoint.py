@@ -75,6 +75,12 @@ def convert_flame(src: str, dst: str) -> None:
             lmk["full_lmk_faces_idx_with_eye"]).astype(np.int64).reshape(-1)
         data["full_lmk_bary_coords"] = np.asarray(
             lmk["full_lmk_bary_coords_with_eye"], np.float32).reshape(-1, 3)
+        # 79 yaw-indexed dynamic contour tables (FLAME.py:52-53)
+        if "dynamic_lmk_faces_idx" in lmk:
+            data["dynamic_lmk_faces_idx"] = np.asarray(
+                lmk["dynamic_lmk_faces_idx"]).astype(np.int64)
+            data["dynamic_lmk_bary_coords"] = np.asarray(
+                lmk["dynamic_lmk_bary_coords"], np.float32)
     save_flame_npz(data, dst)
     print(f"wrote {dst}")
 
