@@ -17,6 +17,49 @@ GTTS_LANGS = {"English": "en", "中文": "zh", "日本語": "ja", "Deutsch": "de
               "Français": "fr", "Español": "es"}
 
 
+def synthesize_tts(text: str, language: str, out_dir: str) -> str:
+    """Text -> speech wav via gTTS (network service; reference
+    inference.py:106-110). Raises ImportError when gTTS is absent."""
+    from gtts import gTTS  # optional dependency
+
+    path = os.path.join(out_dir, "tts_output.wav")
+    gTTS(text=text, lang=GTTS_LANGS[language]).save(path)
+    return path
+
+
+def process_request(engine, input_type, audio_input, text_input, text_language,
+                    shape_id, style_id, warn=print, tts=synthesize_tts):
+    """The app's generate callback, UI-framework-free (reference
+    inference.py:99-125): validate input, optional text->TTS, style select,
+    inference + rendering, motion-sequence save.
+
+    Returns (video_path, motions_path), or (None, None) after ``warn`` on
+    invalid input. ``tts`` is injectable so tests (and offline deployments)
+    can substitute the network TTS service.
+    """
+    if input_type == "Audio" and audio_input is None:
+        warn("Please upload an audio file")
+        return None, None
+    if input_type == "Text" and not (text_input or "").strip():
+        warn("Please input text content")
+        return None, None
+    if input_type == "Text":
+        audio_input = tts(text_input, text_language, engine.output_dir)
+    audio = load_audio_16k_mono(audio_input)
+    if style_id == "default":
+        engine.style_motion = None
+    else:
+        engine.set_style_motion(style_id)
+    pred_motions = engine.inference(audio)
+    base = os.path.splitext(os.path.basename(audio_input))[0]
+    save_name = f"{base}_{style_id.replace('.', '_')}_{shape_id.replace('.', '_')}"
+    video_path = engine.rendering(audio, pred_motions, shape_id=shape_id,
+                                  save_name=save_name)
+    motion_path = os.path.join(engine.output_dir, f"{save_name}_motions.npy")
+    np.save(motion_path, pred_motions)
+    return video_path, motion_path
+
+
 def run_gradio_app(engine, server_name: str = "0.0.0.0", server_port: int = 8960):
     try:
         import gradio as gr
@@ -26,36 +69,11 @@ def run_gradio_app(engine, server_name: str = "0.0.0.0", server_port: int = 8960
             "(python -m artalk_tpu.cli -a <wav>) provides the same pipeline"
         ) from e
 
-    def tts_to_wav(text: str, language: str) -> str:
-        from gtts import gTTS  # network service; optional
-
-        path = os.path.join(engine.output_dir, "tts_output.wav")
-        gTTS(text=text, lang=GTTS_LANGS[language]).save(path)
-        return path
-
     def process_audio(input_type, audio_input, text_input, text_language,
                       shape_id, style_id):
-        if input_type == "Audio" and audio_input is None:
-            gr.Warning("Please upload an audio file")
-            return None, None
-        if input_type == "Text" and not (text_input or "").strip():
-            gr.Warning("Please input text content")
-            return None, None
-        if input_type == "Text":
-            audio_input = tts_to_wav(text_input, text_language)
-        audio = load_audio_16k_mono(audio_input)
-        if style_id == "default":
-            engine.style_motion = None
-        else:
-            engine.set_style_motion(style_id)
-        pred_motions = engine.inference(audio)
-        base = os.path.splitext(os.path.basename(audio_input))[0]
-        save_name = f"{base}_{style_id.replace('.', '_')}_{shape_id.replace('.', '_')}"
-        video_path = engine.rendering(audio, pred_motions, shape_id=shape_id,
-                                      save_name=save_name)
-        motion_path = os.path.join(engine.output_dir, f"{save_name}_motions.npy")
-        np.save(motion_path, pred_motions)
-        return video_path, motion_path
+        return process_request(engine, input_type, audio_input, text_input,
+                               text_language, shape_id, style_id,
+                               warn=gr.Warning)
 
     avatar_ids = sorted(getattr(engine, "gagavatar", None)
                         and engine.gagavatar.all_gagavatar_id.keys() or [])

@@ -131,3 +131,61 @@ def test_cli_unknown_shape_falls_back_to_mesh():
     # without --load_gaga there is no bank at all -> always mesh
     eng_no_gaga = SimpleNamespace()
     assert resolve_shape_id(eng_no_gaga, "synthetic_0", load_gaga=False) == "mesh"
+
+
+def _write_wav(path, seconds=0.3, sr=16000, seed=3):
+    import wave
+
+    r = np.random.default_rng(seed)
+    data = (r.standard_normal(int(seconds * sr)) * 3000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+    return str(path)
+
+
+def test_app_process_request_audio_branch(engine, tmp_path):
+    """Drive the web app's generate callback end-to-end (reference
+    inference.py:99-125) on the audio branch: wav in -> video + motions out."""
+    from artalk_tpu.app_gradio import process_request
+
+    wav = _write_wav(tmp_path / "clip.wav")
+    video_path, motion_path = process_request(
+        engine, "Audio", wav, None, "English", "mesh", "default")
+    assert os.path.exists(video_path)
+    motions = np.load(motion_path)
+    assert motions.shape == (np.ceil(0.3 * 25), 106)
+    np.testing.assert_array_equal(motions[:, 104:], 0.0)
+
+
+def test_app_process_request_text_branch(engine, tmp_path):
+    """Text branch with the TTS service stubbed (gTTS is a network call)."""
+    from artalk_tpu.app_gradio import process_request
+
+    calls = {}
+
+    def fake_tts(text, language, out_dir):
+        calls["args"] = (text, language, out_dir)
+        return _write_wav(tmp_path / "tts_output.wav", seconds=0.2)
+
+    video_path, motion_path = process_request(
+        engine, "Text", None, "hello world", "English", "mesh", "default",
+        tts=fake_tts)
+    assert calls["args"] == ("hello world", "English", engine.output_dir)
+    assert os.path.exists(video_path)
+    assert np.load(motion_path).shape == (5, 106)
+
+
+def test_app_process_request_invalid_inputs(engine):
+    from artalk_tpu.app_gradio import process_request
+
+    warnings = []
+    out = process_request(engine, "Audio", None, None, "English", "mesh",
+                          "default", warn=warnings.append)
+    assert out == (None, None)
+    out = process_request(engine, "Text", None, "   ", "English", "mesh",
+                          "default", warn=warnings.append)
+    assert out == (None, None)
+    assert len(warnings) == 2
