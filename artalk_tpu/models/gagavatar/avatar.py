@@ -47,6 +47,20 @@ PLANE_SIZE = 296
 CAM_PARAMS = {"focal": 12.0, "size": 512}
 
 
+def _instance_budget(n_gaussians: int) -> Optional[int]:
+    """Static (gaussian, tile) instance cap for rasterize_gaussians.
+
+    The avatar workload emits ~1.7 valid instances per gaussian (measured via
+    count_valid_instances on the 180 255-gaussian scene); 4 per gaussian is a
+    ~2.3x margin and still halves the prepass gather vs the full 8-slot
+    budget. Override with ARTALK_GSPLAT_MAX_INSTANCES (0 = exact/unbudgeted).
+    """
+    env = os.environ.get("ARTALK_GSPLAT_MAX_INSTANCES")
+    if env is not None:
+        return int(env) or None
+    return 4 * n_gaussians
+
+
 def prep_frame_chunk(flame_model, shapecode, base_transform, motions_k,
                      carry, is_first, valid):
     """Batched per-frame prep for a K-frame chunk (the sequential part of
@@ -215,7 +229,8 @@ class GAGAvatar:
             xyz[0], gs_params["colors"][0], gs_params["opacities"][0],
             gs_params["scales"][0], gs_params["rotations"][0], cam_matrix,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
-            interpret=self.interpret)
+            interpret=self.interpret,
+            max_instances=_instance_budget(xyz.shape[1]))
         sr = self.upsampler(upsampler_params, render[None])
         return apply_watermark(jnp.clip(sr, 0.0, 1.0), self._watermark)
 

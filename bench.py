@@ -1,33 +1,52 @@
 #!/usr/bin/env python
-"""Benchmark: motion-generation throughput on the flagship pipeline.
+"""Benchmark: the BASELINE.md headline metrics on one chip, ONE JSON line.
 
-Measures the full speech->motion path (wav2vec2-300M audio encode -> KV-cached
-multi-scale AR decode -> BITWISE_VAE decode, sliding 4 s windows) on one chip
-and prints ONE JSON line:
+Sections (all on-device, tunnel-RTT-corrected: every measurement enqueues a
+pipeline of async dispatches and fetches only the last result, so the ~27 ms
+host<->TPU round trip is amortized out — see CLAUDE.md):
 
-    {"metric": "motion_frames_per_sec", "value": N, "unit": "frames/s",
-     "vs_baseline": N / 500.0, ...}
+- ``motion_frames_per_sec`` (headline): full speech->motion path (wav2vec2-300M
+  audio encode -> KV-cached multi-scale AR decode -> BITWISE_VAE decode) over
+  an 8-window (32 s) clip. Baseline = 500 frames/s/chip (>10x real-time).
+- ``stream_p50_ms``: true streaming latency — median per-step device time of
+  ``BitwiseARModel.window_step`` (the ``engine.stream()`` step) with a donated
+  carry. BASELINE.md target: p50 < 200 ms per window.
+- ``mesh_ms_per_frame``: Phong mesh render (ops/rasterizer.py) per 512^2 frame.
+- ``gsplat_ms_per_frame``: 32-channel gaussian splat (ops/gsplat.py) per 512^2
+  frame at the GAGAvatar workload size (5023 + 2*296^2 = 180 255 gaussians).
 
-Baseline = the BASELINE.md north-star target of 500 motion-frames/s/chip
-(>10x real-time at 25 fps codes). vs_baseline > 1.0 beats the target.
+Set ARTALK_BENCH_SECTIONS=motion (comma list of {motion,stream,mesh,gsplat})
+to restrict sections (e.g. to bound compile time when iterating).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+SECTIONS = set(
+    os.environ.get("ARTALK_BENCH_SECTIONS", "motion,stream,mesh,gsplat").split(","))
 
-def main():
-    from artalk_tpu.config import ModelConfig
-    from artalk_tpu.models.ar_model import BitwiseARModel
 
-    cfg = ModelConfig()
-    model = BitwiseARModel(cfg)
-    params = model.init(jax.random.PRNGKey(0))
+def _device_ms(enqueue, n: int, repeats: int = 3) -> float:
+    """Median per-call device ms: enqueue ``n`` async calls, fetch only the
+    last, divide. ``enqueue(i, prev)`` returns the call's (small) result."""
+    medians = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = enqueue(i, out)
+        jax.device_get(out)
+        medians.append((time.perf_counter() - t0) / n * 1000.0)
+    medians.sort()
+    return medians[len(medians) // 2]
 
+
+def bench_motion(model, params):
     n_windows = 8  # 32 s clip = the default --clip_length 750 workload (padded)
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
@@ -44,22 +63,100 @@ def main():
     for _ in range(iters):
         motions = jax.device_get(generate(params, chunks, style_cond))
     elapsed = (time.perf_counter() - t0) / iters
+    total_frames = n_windows * model.cfg.vae.window
+    return total_frames / elapsed, n_windows
 
-    total_frames = n_windows * cfg.vae.window
-    frames_per_sec = total_frames / elapsed
-    rtf = frames_per_sec / cfg.fps  # x real-time
-    p50_window_ms = elapsed / n_windows * 1000.0
 
-    print(json.dumps({
-        "metric": "motion_frames_per_sec",
-        "value": round(frames_per_sec, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / 500.0, 3),
-        "real_time_factor": round(rtf, 2),
-        "p50_window_latency_ms": round(p50_window_ms, 1),
-        "windows": n_windows,
-        "device": str(jax.devices()[0]),
-    }))
+def bench_stream(model, params):
+    """Median device latency of one streaming window step (donated carry)."""
+    style_cond = model.encode_style(params, None)
+    step = jax.jit(model.window_step, donate_argnums=(1,))
+    rng = np.random.default_rng(1)
+    chunk = jnp.asarray(
+        rng.standard_normal((1, model.window_samples)).astype(np.float32) * 0.1)
+
+    state = model.initial_state(params, style_cond)
+    state, motion = step(params, state, chunk, style_cond)  # compile
+    jax.device_get(motion)
+
+    holder = {"state": state}
+
+    def enqueue(i, prev):
+        holder["state"], motion = step(params, holder["state"], chunk, style_cond)
+        return motion[0, 0, 0]
+
+    return _device_ms(enqueue, n=16)
+
+
+def bench_mesh():
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.renderer import MeshRenderer
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=1.0)
+    renderer = MeshRenderer(image_size=512, faces=flame_data["faces"], scale=1.0,
+                            template_verts=flame_data["v_template"])
+    rng = np.random.default_rng(2)
+    frames = 25
+    motions = jnp.asarray(rng.normal(0, 0.3, (frames, 106)).astype(np.float32))
+    shape = jnp.zeros((frames, 300), jnp.float32)
+    verts = flame.motion_to_verts(shape, motions, with_global=True)
+
+    f = jax.jit(lambda v: jnp.sum(renderer(v)))
+    jax.device_get(f(verts))  # compile
+    return _device_ms(lambda i, prev: f(verts), n=8) / frames
+
+
+def bench_gsplat():
+    from artalk_tpu.ops.gsplat import rasterize_gaussians
+
+    # GAGAvatar workload: 5023 FLAME-vertex gaussians (head-sized) + 2 dense
+    # 296^2 ray-plane sheets of small splats (avatar.py / SURVEY §3.4)
+    n_head, n_plane = 5023, 296 * 296
+    n = n_head + 2 * n_plane
+    rng = np.random.default_rng(3)
+    xyz = np.concatenate([
+        rng.normal(0, 0.09, (n_head, 3)),
+        rng.normal(0, 0.12, (2 * n_plane, 3)),
+    ]).astype(np.float32)
+    colors = rng.random((n, 32)).astype(np.float32)
+    opac = (rng.random((n, 1)) * 0.9 + 0.05).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.004 + 0.001).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cam = np.array([[-1, 0, 0, 0], [0, 1, 0, 0], [0, 0, -1, 5000.0 / 512]],
+                   np.float32)
+    args = [jnp.asarray(a) for a in (xyz, colors, opac, scales, q, cam)]
+
+    # same instance budget as the GAGAvatar frame path (avatar.py)
+    f = jax.jit(lambda *a: jnp.sum(rasterize_gaussians(
+        *a, focal=12.0, size=512, max_instances=4 * n)))
+    jax.device_get(f(*args))  # compile
+    return _device_ms(lambda i, prev: f(*args), n=10)
+
+
+def main():
+    from artalk_tpu.config import ModelConfig
+    from artalk_tpu.models.ar_model import BitwiseARModel
+
+    cfg = ModelConfig()
+    model = BitwiseARModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    out = {"metric": "motion_frames_per_sec", "value": None, "unit": "frames/s",
+           "vs_baseline": None, "device": str(jax.devices()[0])}
+    if "motion" in SECTIONS:
+        fps, n_windows = bench_motion(model, params)
+        out.update(value=round(fps, 1), vs_baseline=round(fps / 500.0, 3),
+                   real_time_factor=round(fps / cfg.fps, 2), windows=n_windows)
+    if "stream" in SECTIONS:
+        out["stream_p50_ms"] = round(bench_stream(model, params), 1)
+    if "mesh" in SECTIONS:
+        out["mesh_ms_per_frame"] = round(bench_mesh(), 2)
+    if "gsplat" in SECTIONS:
+        out["gsplat_ms_per_frame"] = round(bench_gsplat(), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

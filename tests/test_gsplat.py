@@ -120,3 +120,32 @@ def test_oversized_splat_renders_centered_crop():
     # the tiled kernel does not
     assert ref[0, 0, 64] > 0.01
     np.testing.assert_array_equal(got[:, 0, 64], 0.0)
+
+
+def test_budgeted_instances_exact_when_sufficient(rng):
+    """max_instances >= the scene's valid count -> bit-identical output."""
+    from artalk_tpu.ops.gsplat import count_valid_instances
+
+    args = _scene(rng)
+    valid = int(count_valid_instances(args[0], args[2], args[3], args[4],
+                                      args[5], focal=12.0, size=128))
+    assert valid > 0
+    exact = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                           interpret=True))
+    budgeted = np.asarray(rasterize_gaussians(
+        *args, focal=12.0, size=128, interpret=True, max_instances=valid))
+    np.testing.assert_array_equal(budgeted, exact)
+
+
+def test_budgeted_instances_truncates_gracefully(rng):
+    """An insufficient budget drops instances but still renders (no crash,
+    output bounded, retained tiles unaffected)."""
+    args = _scene(rng)
+    out = np.asarray(rasterize_gaussians(
+        *args, focal=12.0, size=128, interpret=True, max_instances=1))
+    assert np.isfinite(out).all()
+    exact = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                           interpret=True))
+    # the first chunk's worth of instances is still composited exactly where
+    # segments survived; everything else is zero (dropped tiles render black)
+    assert (out != 0).sum() <= (exact != 0).sum()
