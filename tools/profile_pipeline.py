@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Per-stage device timing of the speech->motion->render pipeline.
+
+Times each stage of the flagship path in isolation (pipelined async dispatch,
+scalar-reduced outputs — see CLAUDE.md for why single dispatch+fetch cycles
+cannot be timed over the dev tunnel) and prints a breakdown table. Run on the
+real TPU:
+
+    python tools/profile_pipeline.py [--iters 10]
+
+Each stage is a separate jit (expect one compile per stage on first run).
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(name, fn, *args, iters=10):
+    jax.device_get(fn(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(out)
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    print(f"{name:<44s} {ms:9.2f} ms")
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    it = args.iters
+
+    from artalk_tpu.config import ModelConfig
+    from artalk_tpu.models.ar_model import BitwiseARModel
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.renderer import MeshRenderer
+    from artalk_tpu.ops.savgol import smooth_motion_savgol
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    cfg = ModelConfig()
+    model = BitwiseARModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n_windows = 8
+    chunks = jnp.asarray(rng.standard_normal(
+        (n_windows, 1, model.window_samples)).astype(np.float32) * 0.1)
+    chunk1 = chunks[0]
+    style_cond = model.encode_style(params, None)
+    state = model.initial_state(params, style_cond)
+    window = cfg.vae.window
+
+    print(f"device: {jax.devices()[0]}   iters: {it}\n")
+    print("--- speech -> motion (per 4 s window unless noted) ---")
+    enc1 = timed("audio_condition (wav2vec, 1 window)",
+                 jax.jit(lambda c: jnp.sum(model.audio_condition(params, c))),
+                 chunk1, iters=it)
+    encN = timed(f"audio_condition (batched {n_windows} windows)",
+                 jax.jit(lambda c: jnp.sum(model.audio_condition(
+                     params, c.reshape(-1, model.window_samples)))),
+                 chunks, iters=it)
+    print(f"{'  -> batched encode per window':<44s} {encN / n_windows:9.2f} ms")
+
+    audio_cond = model.audio_condition(params, chunk1)
+    timed("decode_window (AR only, cond precomputed)",
+          jax.jit(lambda ac: jnp.sum(model.decode_window(
+              params, ac, style_cond, state.prev_attn_feat))),
+          audio_cond, iters=it)
+
+    bits = model.decode_window(params, audio_cond, style_cond,
+                               state.prev_attn_feat)
+    timed("VAE decode_from_bits (200-frame pair)",
+          jax.jit(lambda b: jnp.sum(model.vae.decode_from_bits(
+              params["vae"], state.prev_bits, b)[1])),
+          bits, iters=it)
+    motion = model.vae.decode_from_bits(params["vae"], state.prev_bits, bits)[1]
+    timed("VAE re-encode (encode_to_bits)",
+          jax.jit(lambda m: jnp.sum(model.vae.encode_to_bits(
+              params["vae"], m)[0])),
+          motion, iters=it)
+    timed("full window_step (stream step)",
+          jax.jit(lambda c: jnp.sum(model.window_step(
+              params, state, c, style_cond)[1])),
+          chunk1, iters=it)
+    timed(f"savgol postprocess ({n_windows * window} frames)",
+          jax.jit(lambda m: jnp.sum(smooth_motion_savgol(m))),
+          jnp.tile(motion[:, :window], (1, n_windows, 1)), iters=it)
+
+    print("\n--- motion -> pixels (per frame unless noted) ---")
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=1.0)
+    motions_t = jnp.asarray(rng.normal(0, 0.3, (window, 106)).astype(np.float32))
+    shape = jnp.zeros((window, 300), jnp.float32)
+    fl = timed(f"FLAME motion_to_verts ({window} frames)",
+               jax.jit(lambda s, m: jnp.sum(flame.motion_to_verts(
+                   s, m, with_global=True))),
+               shape, motions_t, iters=it)
+    print(f"{'  -> per frame':<44s} {fl / window:9.3f} ms")
+    renderer = MeshRenderer(image_size=512, faces=flame_data["faces"],
+                            scale=1.0, template_verts=flame_data["v_template"])
+    verts = flame.motion_to_verts(shape, motions_t, with_global=True)[:25]
+    mr = timed("mesh render (25 frames, 512^2 Phong)",
+               jax.jit(lambda v: jnp.sum(renderer(v))), verts, iters=it)
+    print(f"{'  -> per frame':<44s} {mr / 25:9.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
