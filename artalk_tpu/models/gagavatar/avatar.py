@@ -103,9 +103,15 @@ def prep_frame_chunk(flame_model, shapecode, base_transform, motions_k,
 
 class GAGAvatar:
     def __init__(self, assets_dir: str = "assets", params: Optional[dict] = None,
-                 seed: int = 0, interpret: bool = False):
+                 seed: int = 0, interpret: bool = False,
+                 bf16_sr: Optional[bool] = None):
         self.assets_dir = assets_dir
         self.interpret = interpret
+        # opt-in bf16 super-resolution (StyleUNet compute dtype); default f32
+        # for reference parity. None -> ARTALK_BF16_SR env toggle.
+        if bf16_sr is None:
+            bf16_sr = os.environ.get("ARTALK_BF16_SR", "0") not in ("0", "")
+        self.bf16_sr = bf16_sr
         self.base_model = DinoDPT(output_dim=256)
         self.gs_generator_g = LinearGSGenerator(in_dim=1024, dir_dim=27)
         self.gs_generator_l0 = ConvGSGenerator(in_dim=256, dir_dim=27)
@@ -231,7 +237,8 @@ class GAGAvatar:
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
             interpret=self.interpret,
             max_instances=_instance_budget(xyz.shape[1]))
-        sr = self.upsampler(upsampler_params, render[None])
+        sr = self.upsampler(upsampler_params, render[None],
+                            compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
         return apply_watermark(jnp.clip(sr, 0.0, 1.0), self._watermark)
 
     def build_forward_batch(self, motion: jnp.ndarray, flame_model):

@@ -53,7 +53,8 @@ def _lrelu(x):
 
 def _resize2x(x, up: bool):
     h, w = x.shape[-2:]
-    return resize_bilinear(x, h * 2 if up else h // 2, w * 2 if up else w // 2)
+    y = resize_bilinear(x, h * 2 if up else h // 2, w * 2 if up else w // 2)
+    return y.astype(x.dtype)  # f32 resize matrices must not upcast bf16 paths
 
 
 class StyleUNet:
@@ -117,8 +118,21 @@ class StyleUNet:
         out = _lrelu(_conv(p["conv2"], out, pad=1))
         return out + _conv(p["skip"], _resize2x(x, up))
 
-    def __call__(self, params: nn.Params, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, in_dim, S, S) -> (B, out_dim, out_size, out_size), sigmoid."""
+    def __call__(self, params: nn.Params, x: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+        """(B, in_dim, S, S) -> (B, out_dim, out_size, out_size), sigmoid.
+
+        compute_dtype: optional jnp.bfloat16 runs every conv/matmul in bf16
+        (weights cast at trace time; XLA folds the casts) and returns to f32
+        for the final sigmoid. Roughly halves conv time on TPU at low channel
+        counts; the output feeds 8-bit video, where the ~1e-2 relative noise
+        is at the quantization floor. Default f32 = reference parity.
+        """
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == jnp.float32 else a, params)
+            x = x.astype(compute_dtype)
         if x.shape[-1] < self.out_size:
             x = resize_bilinear(x, self.out_size, self.out_size)
         feat = _lrelu(_conv(params["first"], x))
@@ -137,7 +151,7 @@ class StyleUNet:
             ct = params["cond_shift"][i]
             conditions.append(_conv(ct["c2"], _lrelu(_conv(ct["c1"], feat, pad=1)), pad=1))
         image = self.gan(params["gan"], style, conditions)
-        return jax.nn.sigmoid(image)
+        return jax.nn.sigmoid(image.astype(jnp.float32))
 
 
 class StyleGAN2GeneratorCSFT:
@@ -210,8 +224,10 @@ class StyleGAN2GeneratorCSFT:
         s = nn.linear(p["modulation"], style)               # (B, cin)
         weight = p["weight"] * s[:, None, :, None, None]    # (B, cout, cin, k, k)
         if demodulate:
-            demod = jax.lax.rsqrt(jnp.sum(weight ** 2, axis=(2, 3, 4)) + 1e-8)
-            weight = weight * demod[:, :, None, None, None]
+            # f32 accumulation: a bf16 sum over cin*k*k squares is too lossy
+            demod = jax.lax.rsqrt(
+                jnp.sum(weight.astype(jnp.float32) ** 2, axis=(2, 3, 4)) + 1e-8)
+            weight = weight * demod[:, :, None, None, None].astype(weight.dtype)
         if upsample:
             x = _resize2x(x, up=True)
         pad = p["weight"].shape[-1] // 2
@@ -238,8 +254,10 @@ class StyleGAN2GeneratorCSFT:
 
     def __call__(self, params: nn.Params, style: jnp.ndarray,
                  conditions: List[jnp.ndarray]) -> jnp.ndarray:
-        # normalize + MLP
-        s = style * jax.lax.rsqrt(jnp.mean(style ** 2, axis=1, keepdims=True) + 1e-8)
+        # normalize + MLP (norm accumulated in f32 regardless of compute dtype)
+        s = style * jax.lax.rsqrt(
+            jnp.mean(style.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+            + 1e-8).astype(style.dtype)
         for p in params["style_mlp"]:
             s = _lrelu(nn.linear(p, s))
         noises = params["noises"]

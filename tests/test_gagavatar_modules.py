@@ -210,3 +210,16 @@ def test_prep_frame_chunk_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(got_cams), np.asarray(seq_cams), atol=1e-6)
     # the carry equals the EMA state after exactly t_total real frames
     np.testing.assert_allclose(np.asarray(carry), np.asarray(upper[0]), atol=1e-5)
+
+
+def test_style_unet_bf16_close_to_f32(rng):
+    """Opt-in bf16 compute tracks the f32 output within 8-bit-video noise."""
+    unet = StyleUNet(in_size=64, out_size=64, in_dim=8, out_dim=3)
+    params = unet.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 64)).astype(np.float32))
+    f32 = np.asarray(unet(params, x))
+    bf16 = np.asarray(unet(params, x, compute_dtype=jnp.bfloat16))
+    assert bf16.dtype == np.float32  # returns f32 after the final sigmoid
+    # post-sigmoid values feed uint8 video; stay well inside ~2 LSB
+    assert np.abs(bf16 - f32).max() < 2e-2
+    assert np.abs(bf16 - f32).mean() < 3e-3
