@@ -124,9 +124,12 @@ class StyleUNet:
 
         compute_dtype: optional jnp.bfloat16 runs every conv/matmul in bf16
         (weights cast at trace time; XLA folds the casts) and returns to f32
-        for the final sigmoid. Roughly halves conv time on TPU at low channel
-        counts; the output feeds 8-bit video, where the ~1e-2 relative noise
-        is at the quantization floor. Default f32 = reference parity.
+        for the final sigmoid. Measured ~5% on a v5e (10.6 -> 10.1 ms at
+        512^2): these low-channel convs are layout/VPU-bound, not MXU-bound,
+        so halving matmul width barely moves the total. Kept because it is
+        free and compounds with any future layout work; the output feeds
+        8-bit video, where the ~1e-2 relative noise is at the quantization
+        floor. Default f32 = reference parity.
         """
         if compute_dtype is not None:
             params = jax.tree.map(
