@@ -309,7 +309,11 @@ def _build_instances(comp: dict, opac, colors, size: int,
     padded = ((total + GCHUNK - 1) // GCHUNK) * GCHUNK
     key = jnp.pad(key.reshape(-1), (0, padded - total),
                   constant_values=jnp.iinfo(jnp.int32).max)
-    sorted_key = jax.lax.sort(key)                        # payload-free sort
+    # payload-free UNSTABLE sort: real keys are unique (a gaussian never
+    # emits two slots into one tile, so (tile, rank) pairs are distinct);
+    # only trash/pad duplicates reorder, and the kernel never reads those.
+    # is_stable=False is ~1.4x faster on TPU (3.4 -> 2.3 ms at 1.44M keys).
+    sorted_key = jax.lax.sort(key, is_stable=False)
     if max_instances is not None:
         # Budgeted gather: valid instances form a prefix of the sorted keys
         # (trash/pad keys sort last), and for realistic splat sizes they are
