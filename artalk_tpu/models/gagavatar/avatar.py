@@ -297,8 +297,12 @@ class GAGAvatar:
                 xyz, gs_params["colors"][0], gs_params["opacities"][0],
                 gs_params["scales"][0], gs_params["rotations"][0], cam,
                 focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
-                interpret=self.interpret)
-            sr = jnp.clip(self.upsampler(upsampler_params, render[None]), 0.0, 1.0)
+                interpret=self.interpret,
+                max_instances=_instance_budget(xyz.shape[0]))
+            sr = self.upsampler(
+                upsampler_params, render[None],
+                compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
+            sr = jnp.clip(sr, 0.0, 1.0)
             sr = apply_watermark(sr, self._watermark)
             if colorspace == "yuv420":
                 return _, rgb_to_yuv420p(sr, channel_axis=1)[0]

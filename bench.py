@@ -14,9 +14,16 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``mesh_ms_per_frame``: Phong mesh render (ops/rasterizer.py) per 512^2 frame.
 - ``gsplat_ms_per_frame``: 32-channel gaussian splat (ops/gsplat.py) per 512^2
   frame at the GAGAvatar workload size (5023 + 2*296^2 = 180 255 gaussians).
+- ``batched6_frames_per_sec``: BASELINE config #2 — 6 clips decoded in one
+  batch (device throughput, scalar-reduced so the dev-tunnel fetch of 6
+  motion tracks does not masquerade as compute time).
+- ``gaga_ms_per_frame``: BASELINE config #5 — full GAGAvatar device frame on
+  the production 25-frame chunk path (FLAME re-pose + EMA + 180k-gaussian
+  splat + StyleUNet SR + watermark + yuv420 pack), synthetic avatar/weights.
 
-Set ARTALK_BENCH_SECTIONS=motion (comma list of {motion,stream,mesh,gsplat})
-to restrict sections (e.g. to bound compile time when iterating).
+Set ARTALK_BENCH_SECTIONS=motion (comma list of
+{motion,stream,mesh,gsplat,batched,gaga}) to restrict sections (e.g. to bound
+compile time when iterating).
 """
 
 import json
@@ -28,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 SECTIONS = set(
-    os.environ.get("ARTALK_BENCH_SECTIONS", "motion,stream,mesh,gsplat").split(","))
+    os.environ.get("ARTALK_BENCH_SECTIONS",
+                   "motion,stream,mesh,gsplat,batched,gaga").split(","))
 
 
 def _device_ms(enqueue, n: int, repeats: int = 3) -> float:
@@ -136,6 +144,58 @@ def bench_gsplat():
     return _device_ms(lambda i, prev: f(*args), n=10)
 
 
+def bench_batched(model, params):
+    """BASELINE config #2: 6 clips, 8 windows each, one batched decode.
+
+    Device aggregate throughput: the generate output is scalar-reduced on
+    device (fetching 6 motion tracks over the ~10 MB/s dev tunnel would
+    dominate the measurement; see CLAUDE.md).
+    """
+    n_windows, b = 8, 6
+    rng = np.random.default_rng(4)
+    chunks = jnp.asarray(rng.standard_normal(
+        (n_windows, b, model.window_samples)).astype(np.float32) * 0.1)
+    style_cond = model.encode_style(params, None)
+    gen = jax.jit(lambda p, c, s: jnp.sum(model.generate(p, c, s)))
+    jax.device_get(gen(params, chunks, style_cond))  # compile
+    ms = _device_ms(lambda i, prev: gen(params, chunks, style_cond), n=5)
+    total_frames = b * n_windows * model.cfg.vae.window
+    return total_frames / (ms / 1000.0)
+
+
+def bench_gaga():
+    """BASELINE config #5: full GAGAvatar frame on the production chunk path
+    (avatar._chunk_step: batched FLAME re-pose, forehead EMA scan, 180k-
+    gaussian splat, StyleUNet SR, watermark, yuv420 packing). Synthetic
+    avatar + random-init weights — identical compute to real ones."""
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.gagavatar.avatar import FOREHEAD_INDICES, GAGAvatar
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=5.0)
+    gaga = GAGAvatar(assets_dir="assets")
+    gaga.set_avatar_id(sorted(gaga.all_gagavatar_id)[0])
+    gaga._build_gs_params()
+    fn = gaga._get_chunk_fn(flame, "yuv420")
+
+    k = 25  # production transfer_chunk
+    rng = np.random.default_rng(5)
+    motions = jnp.asarray(rng.normal(0, 0.3, (k, 106)).astype(np.float32))
+    carry = jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
+    is_first = jnp.float32(0.0)
+    shapecode = gaga._feature_cache["shapecode"]
+    base = gaga._feature_cache["transform"]
+
+    def call(i, prev):
+        frames, _ = fn(gaga._gs_params, gaga.params["upsampler"], shapecode,
+                       base, motions, carry, is_first, jnp.int32(k))
+        return jnp.sum(frames[:, ::64, ::64].astype(jnp.int32))
+
+    jax.device_get(call(0, None))  # compile
+    return _device_ms(call, n=6) / k
+
+
 def main():
     from artalk_tpu.config import ModelConfig
     from artalk_tpu.models.ar_model import BitwiseARModel
@@ -156,6 +216,10 @@ def main():
         out["mesh_ms_per_frame"] = round(bench_mesh(), 2)
     if "gsplat" in SECTIONS:
         out["gsplat_ms_per_frame"] = round(bench_gsplat(), 1)
+    if "batched" in SECTIONS:
+        out["batched6_frames_per_sec"] = round(bench_batched(model, params), 1)
+    if "gaga" in SECTIONS:
+        out["gaga_ms_per_frame"] = round(bench_gaga(), 1)
     print(json.dumps(out))
 
 

@@ -223,3 +223,65 @@ def test_style_unet_bf16_close_to_f32(rng):
     # post-sigmoid values feed uint8 video; stay well inside ~2 LSB
     assert np.abs(bf16 - f32).max() < 2e-2
     assert np.abs(bf16 - f32).mean() < 3e-3
+
+
+def test_render_motion_sequence_chunk_path(monkeypatch, tmp_path):
+    """The production chunk path (render_motion_sequence -> _chunk_step) is
+    orchestration-tested with a stub splat kernel (the 180k-gaussian Pallas
+    kernel cannot run on CPU): frame shapes/count, EMA carry threading, and
+    that the per-frame instance budget reaches the kernel call
+    (avatar.py _chunk_step -- the real kernel is oracle-tested in
+    tests/test_gsplat.py and driven e2e by the CLI on TPU)."""
+    from artalk_tpu.models import gagavatar
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.gagavatar import avatar as avatar_mod
+    from artalk_tpu.models.gagavatar.avatar import (
+        FOREHEAD_INDICES, NUM_FLAME_VERTS, GAGAvatar, _instance_budget)
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    seen_budgets = []
+    small = 64  # stub render size: full-size StyleUNet is minutes on CPU
+
+    def stub_rasterize(xyz, colors, opacities, scales, rotations, cam,
+                       focal=12.0, size=512, interpret=False,
+                       max_instances=None):
+        seen_budgets.append(max_instances)
+        # deterministic, frame-dependent output (cam varies per frame)
+        base = jnp.mean(cam) + jnp.mean(xyz) * 1e-3
+        return jnp.full((32, small, small), base, jnp.float32) * 0.05
+
+    monkeypatch.setattr(avatar_mod, "rasterize_gaussians", stub_rasterize)
+
+    unet = StyleUNet(in_size=small, out_size=small, in_dim=32, out_dim=3)
+    gaga = GAGAvatar(assets_dir="assets",
+                     params={"upsampler": unet.init(jax.random.PRNGKey(0))})
+    gaga.upsampler = unet
+    n = NUM_FLAME_VERTS + 64
+    rng = np.random.default_rng(0)
+    gaga._tracked = {"stub": np.zeros(1)}  # skip set_avatar_id
+    gaga._gs_params = {
+        "xyz": jnp.asarray(rng.normal(0, 0.1, (1, n, 3)).astype(np.float32)),
+        "colors": jnp.asarray(rng.random((1, n, 32)).astype(np.float32)),
+        "opacities": jnp.asarray(rng.random((1, n, 1)).astype(np.float32)),
+        "scales": jnp.asarray(rng.random((1, n, 3)).astype(np.float32) * 0.01),
+        "rotations": jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32)),
+    }
+    gaga._feature_cache = {
+        "transform": jnp.asarray(np.eye(3, 4, dtype=np.float32)),
+        "shapecode": jnp.zeros((1, 300), jnp.float32),
+    }
+
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=5.0)
+    t_total = 3
+    motions = rng.normal(0, 0.3, (t_total, 106)).astype(np.float32)
+
+    frames = gaga.render_motion_sequence("", jnp.asarray(motions), flame,
+                                         transfer_chunk=2, colorspace="yuv420")
+    assert frames.shape == (t_total, small * 3 // 2, small)  # yuv420p planes
+    assert frames.dtype == np.uint8
+    # the budgeted gather must be active on the chunk path
+    assert seen_budgets and all(b == _instance_budget(n) for b in seen_budgets)
+    # EMA carry threads across chunks: state was persisted for resume
+    assert gaga._upper_points is not None
+    assert gaga._upper_points.shape == (1, len(FOREHEAD_INDICES), 3)
