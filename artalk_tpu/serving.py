@@ -1,0 +1,148 @@
+"""Multi-session streaming service: B live audio streams on one chip.
+
+The reference has no serving layer at all (single process, batch=1 asserted at
+/root/reference/app/models.py:65). This is the TPU-native way to serve many
+concurrent real-time sessions: every active session occupies one row of a
+fixed-size batch, and each service tick runs ONE compiled batched
+``window_step`` (static shapes, donated carry) that advances all of them
+together. Joining or leaving a session never recompiles — it just resets that
+session's rows of the batched :class:`WindowState` and style table.
+
+Why batching is the right TPU shape: the window step is dominated by small
+matmuls (768-d AR blocks, 512-d VAE) that leave the MXU mostly idle at B=1;
+rows are effectively free until the batch fills the systolic array, so B
+sessions cost roughly one session's latency (measured: see
+``bench.py``/README).  At the 4-second window cadence a single chip therefore
+sustains ``B`` real-time streams at a per-window latency far below the 200 ms
+budget (BASELINE.md).
+
+Usage::
+
+    pool = StreamPool(model, params, max_sessions=8)
+    sid = pool.open_session(style_motion=None)      # join (optional style)
+    out = pool.step({sid: audio_chunk_16k})          # one tick, all sessions
+    pool.close_session(sid)                          # leave
+
+``step`` accepts any subset of active sessions (absent ones idle that tick —
+their carry is untouched) and returns per-session ``(frames, 106)`` motion.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.ar_model import BitwiseARModel, WindowState
+from .models import nn
+
+
+class StreamPool:
+    """Fixed-capacity pool of concurrent streaming decode sessions."""
+
+    def __init__(self, model: BitwiseARModel, params: nn.Params,
+                 max_sessions: int = 4):
+        self.model = model
+        self.params = params
+        self.capacity = int(max_sessions)
+        cfg = model.cfg
+
+        null = model.encode_style(params, None)              # (1, 1, d)
+        self._null_style = null
+        # per-slot style rows; row i is a session's conditioning token
+        self._styles = jnp.tile(null, (self.capacity, 1, 1))
+        # template initial carry for ONE null-style slot (used on reset);
+        # per-style carries are rebuilt on open_session
+        self._state = model.initial_state(params, self._styles,
+                                          batch_size=self.capacity)
+        self._free = list(range(self.capacity))[::-1]
+        self._active: Dict[int, bool] = {}
+        self.window_samples = model.window_samples
+        self.fps = cfg.fps
+        self.sample_rate = cfg.sample_rate
+
+        # ONE compiled batched step; the carry is donated. Idle-slot masking
+        # happens INSIDE the jit (donation invalidates the old state buffers,
+        # so the merge cannot read them afterwards on the host side).
+        def _masked_step(params, state, audio, styles, mask):
+            new_state, motion = model.window_step(params, state, audio, styles)
+            m = mask[:, None, None]
+            merged = WindowState(
+                jnp.where(m, new_state.prev_bits, state.prev_bits),
+                jnp.where(m, new_state.prev_attn_feat, state.prev_attn_feat))
+            return merged, motion
+
+        self._step = jax.jit(_masked_step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------- lifecycle
+
+    def open_session(self, style_motion: Optional[np.ndarray] = None) -> int:
+        """Claim a slot; returns the session id. Raises when full."""
+        if not self._free:
+            raise RuntimeError(
+                f"StreamPool full ({self.capacity} sessions); close one first")
+        sid = self._free.pop()
+        style = (self._null_style if style_motion is None
+                 else self.model.encode_style(
+                     self.params, jnp.asarray(style_motion)[None]))
+        self._styles = self._styles.at[sid].set(style[0])
+        fresh = self.model.initial_state(self.params, style, batch_size=1)
+        self._state = WindowState(
+            self._state.prev_bits.at[sid].set(fresh.prev_bits[0]),
+            self._state.prev_attn_feat.at[sid].set(fresh.prev_attn_feat[0]))
+        self._active[sid] = True
+        return sid
+
+    def close_session(self, sid: int) -> None:
+        if self._active.pop(sid, None) is None:
+            raise KeyError(f"unknown session {sid}")
+        self._free.append(sid)
+
+    @property
+    def active_sessions(self):
+        return sorted(self._active)
+
+    # ------------------------------------------------------------------ tick
+
+    def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        """Advance the sessions in ``chunks`` by one 4-s window.
+
+        chunks: session id -> 1-D 16 kHz audio (<= window_samples; shorter
+        chunks are zero-padded, mirroring ``engine.stream``). Sessions not in
+        ``chunks`` idle this tick: they are stepped with silence for batch
+        shape, but their carry/output are discarded, so a later real chunk
+        continues exactly where they stopped.
+
+        Returns session id -> (ceil(valid_samples/640), 106) raw motion.
+        """
+        unknown = [s for s in chunks if s not in self._active]
+        if unknown:
+            raise KeyError(f"unknown session(s) {unknown}")
+        ws = self.window_samples
+        buf = np.zeros((self.capacity, ws), np.float32)
+        n_valid: Dict[int, int] = {}
+        for sid, chunk in chunks.items():
+            chunk = np.asarray(chunk, np.float32).reshape(-1)
+            n = min(len(chunk), ws)
+            buf[sid, :n] = chunk[:ws]
+            n_valid[sid] = n
+
+        # idle slots keep their previous carry (their rows advance on
+        # silence this tick, which must not perturb a paused session)
+        stepped = np.zeros((self.capacity,), bool)
+        for sid in chunks:
+            stepped[sid] = True
+        self._state, motion = self._step(self.params, self._state,
+                                         jnp.asarray(buf), self._styles,
+                                         jnp.asarray(stepped))
+
+        host_motion = np.asarray(motion)
+        out = {}
+        for sid, n in n_valid.items():
+            frames = math.ceil(n / self.sample_rate * self.fps)
+            out[sid] = host_motion[sid, :frames]
+        return out
