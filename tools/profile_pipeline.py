@@ -61,36 +61,41 @@ def main():
 
     print(f"device: {jax.devices()[0]}   iters: {it}\n")
     print("--- speech -> motion (per 4 s window unless noted) ---")
+    # NOTE every jit takes ``params`` as an ARGUMENT. Closing over the 300M-
+    # param pytree in a lambda inlines it into the lowered module, and the
+    # remote compile service chokes on the multi-GB constant payload (40+ min
+    # then a broken pipe — observed twice before this fix).
     enc1 = timed("audio_condition (wav2vec, 1 window)",
-                 jax.jit(lambda c: jnp.sum(model.audio_condition(params, c))),
-                 chunk1, iters=it)
+                 jax.jit(lambda p, c: jnp.sum(model.audio_condition(p, c))),
+                 params, chunk1, iters=it)
     encN = timed(f"audio_condition (batched {n_windows} windows)",
-                 jax.jit(lambda c: jnp.sum(model.audio_condition(
-                     params, c.reshape(-1, model.window_samples)))),
-                 chunks, iters=it)
+                 jax.jit(lambda p, c: jnp.sum(model.audio_condition(
+                     p, c.reshape(-1, model.window_samples)))),
+                 params, chunks, iters=it)
     print(f"{'  -> batched encode per window':<44s} {encN / n_windows:9.2f} ms")
 
-    audio_cond = model.audio_condition(params, chunk1)
+    audio_cond = jax.jit(model.audio_condition)(params, chunk1)
     timed("decode_window (AR only, cond precomputed)",
-          jax.jit(lambda ac: jnp.sum(model.decode_window(
-              params, ac, style_cond, state.prev_attn_feat))),
-          audio_cond, iters=it)
+          jax.jit(lambda p, ac: jnp.sum(model.decode_window(
+              p, ac, style_cond, state.prev_attn_feat))),
+          params, audio_cond, iters=it)
 
-    bits = model.decode_window(params, audio_cond, style_cond,
-                               state.prev_attn_feat)
+    bits = jax.jit(model.decode_window)(params, audio_cond, style_cond,
+                                        state.prev_attn_feat)
     timed("VAE decode_from_bits (200-frame pair)",
-          jax.jit(lambda b: jnp.sum(model.vae.decode_from_bits(
-              params["vae"], state.prev_bits, b)[1])),
-          bits, iters=it)
-    motion = model.vae.decode_from_bits(params["vae"], state.prev_bits, bits)[1]
+          jax.jit(lambda p, b: jnp.sum(model.vae.decode_from_bits(
+              p["vae"], state.prev_bits, b)[1])),
+          params, bits, iters=it)
+    motion = jax.jit(model.vae.decode_from_bits)(
+        params["vae"], state.prev_bits, bits)[1]
     timed("VAE re-encode (encode_to_bits)",
-          jax.jit(lambda m: jnp.sum(model.vae.encode_to_bits(
-              params["vae"], m)[0])),
-          motion, iters=it)
+          jax.jit(lambda p, m: jnp.sum(model.vae.encode_to_bits(
+              p["vae"], m)[0])),
+          params, motion, iters=it)
     timed("full window_step (stream step)",
-          jax.jit(lambda c: jnp.sum(model.window_step(
-              params, state, c, style_cond)[1])),
-          chunk1, iters=it)
+          jax.jit(lambda p, s, c: jnp.sum(model.window_step(
+              p, s, c, style_cond)[1])),
+          params, state, chunk1, iters=it)
     timed(f"savgol postprocess ({n_windows * window} frames)",
           jax.jit(lambda m: jnp.sum(smooth_motion_savgol(m))),
           jnp.tile(motion[:, :window], (1, n_windows, 1)), iters=it)
