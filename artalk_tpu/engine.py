@@ -149,7 +149,9 @@ class ARTAvatarInferEngine:
 
         The carry (prev codes + attention prefix) is donated across steps, so
         arbitrarily long streams run in constant device memory. Chunks shorter
-        than a window are zero-padded (matching the offline padding semantics).
+        than a window are zero-padded (matching the offline padding
+        semantics); a chunk longer than one window raises — silently dropping
+        the tail would desynchronize audio and motion.
 
         Mid-stream resume: pass ``state`` from a previous session's
         ``last_stream_state`` (host-transferable pytree) to continue a long
@@ -160,9 +162,13 @@ class ARTAvatarInferEngine:
         self.last_stream_state: Optional[WindowState] = state
         for chunk in audio_chunks:
             chunk = np.asarray(chunk, np.float32).reshape(-1)
-            n_valid = min(len(chunk), ws)
+            if len(chunk) > ws:
+                raise ValueError(
+                    f"stream chunk of {len(chunk)} samples exceeds the "
+                    f"{ws}-sample (4 s) window; split it across chunks")
+            n_valid = len(chunk)
             buf = np.zeros(ws, np.float32)
-            buf[:n_valid] = chunk[:ws]
+            buf[:n_valid] = chunk
             if state is None:
                 state = self.model.initial_state(self.params, style_cond)
             with GLOBAL_METRICS.stage("stream.window_step"):

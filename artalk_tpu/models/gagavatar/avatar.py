@@ -226,6 +226,32 @@ class GAGAvatar:
                 transform[:3] if transform.shape[0] >= 3 else transform),
             "shapecode": jnp.asarray(tracked["shapecode"]).reshape(1, -1),
         }
+        self._check_instance_budget()
+
+    def _check_instance_budget(self):
+        """Once per avatar: neutral-pose valid-instance count vs the static
+        per-frame budget. The budgeted gather drops far gaussians of the
+        bottom image rows when exceeded (ops/gsplat.py _build_instances), so
+        an avatar whose splats emit near the cap gets a loud warning instead
+        of silently losing geometry on out-of-distribution poses."""
+        from ...ops.gsplat import count_valid_instances
+
+        gs = self._gs_params
+        budget = _instance_budget(int(gs["xyz"].shape[1]))
+        if not budget:
+            return
+        cam = jnp.concatenate([
+            transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
+            self._feature_cache["transform"][:, 3:4]], axis=-1)
+        count = int(count_valid_instances(
+            gs["xyz"][0], gs["opacities"][0], gs["scales"][0],
+            gs["rotations"][0], cam,
+            focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+        if count > 0.8 * budget:
+            print(f"[artalk_tpu] WARNING: avatar emits {count} splat "
+                  f"instances at neutral pose, within 20% of the per-frame "
+                  f"budget {budget}; extreme poses may drop gaussians. "
+                  "Raise ARTALK_GSPLAT_MAX_INSTANCES (0 = exact).")
 
     # -------------------------------------------------------------- per frame
 

@@ -137,7 +137,9 @@ class StyleUNet:
                 if a.dtype == jnp.float32 else a, params)
             x = x.astype(compute_dtype)
         if x.shape[-1] < self.out_size:
-            x = resize_bilinear(x, self.out_size, self.out_size)
+            # cast back: the f32 resize matrices must not silently promote a
+            # bf16 compute path to f32 for the entire network
+            x = resize_bilinear(x, self.out_size, self.out_size).astype(x.dtype)
         feat = _lrelu(_conv(params["first"], x))
         skips: List[jnp.ndarray] = []
         for p in params["down"]:

@@ -50,7 +50,12 @@ def apply_watermark(image: jnp.ndarray, mark: Optional[jnp.ndarray]
     ``mark`` is None (logo asset absent)."""
     if mark is None:
         return image
-    h, w = mark.shape[-2], mark.shape[-1]
+    # frames smaller than the logo keep only its bottom-right crop (the
+    # image[..., -h:, -w:] slice clamps to the frame, so the mark must be
+    # cropped identically or the blend broadcast fails)
+    h = min(mark.shape[-2], image.shape[-2])
+    w = min(mark.shape[-1], image.shape[-1])
+    mark = mark[..., -h:, -w:]
     rgb = mark[:3]
     alpha = mark[3:4] * 0.8
     patch = image[..., -h:, -w:]

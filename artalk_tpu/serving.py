@@ -127,8 +127,14 @@ class StreamPool:
         n_valid: Dict[int, int] = {}
         for sid, chunk in chunks.items():
             chunk = np.asarray(chunk, np.float32).reshape(-1)
-            n = min(len(chunk), ws)
-            buf[sid, :n] = chunk[:ws]
+            if len(chunk) > ws:
+                # silently dropping the tail would desynchronize audio and
+                # motion by the excess every tick -- make the caller split
+                raise ValueError(
+                    f"session {sid}: chunk of {len(chunk)} samples exceeds "
+                    f"the {ws}-sample window; split it across ticks")
+            n = len(chunk)
+            buf[sid, :n] = chunk
             n_valid[sid] = n
 
         # idle slots keep their previous carry (their rows advance on

@@ -34,24 +34,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SECTIONS = set(
-    os.environ.get("ARTALK_BENCH_SECTIONS",
-                   "motion,stream,mesh,gsplat,batched,gaga").split(","))
+_KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga")
+SECTIONS = {
+    s.strip() for s in os.environ.get(
+        "ARTALK_BENCH_SECTIONS", ",".join(_KNOWN_SECTIONS)).split(",")
+    if s.strip()}
+_bad = SECTIONS - set(_KNOWN_SECTIONS)
+if _bad:
+    raise SystemExit(
+        f"unknown ARTALK_BENCH_SECTIONS {sorted(_bad)}; "
+        f"known: {','.join(_KNOWN_SECTIONS)}")
 
 
-def _device_ms(enqueue, n: int, repeats: int = 3) -> float:
-    """Median per-call device ms: enqueue ``n`` async calls, fetch only the
-    last, divide. ``enqueue(i, prev)`` returns the call's (small) result."""
-    medians = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(n):
-            out = enqueue(i, out)
-        jax.device_get(out)
-        medians.append((time.perf_counter() - t0) / n * 1000.0)
-    medians.sort()
-    return medians[len(medians) // 2]
+from artalk_tpu.utils.timing import pipelined_ms as _device_ms  # noqa: E402
 
 
 def bench_motion(model, params):

@@ -67,3 +67,19 @@ def test_load_watermark_npz(tmp_path, rng):
     mark = load_watermark(str(tmp_path))
     assert mark.shape == (4,) + WATERMARK_SIZE
     assert np.isfinite(np.asarray(mark)).all()
+
+
+def test_apply_watermark_frame_smaller_than_logo(rng):
+    """Frames smaller than the 82x256 logo blend its bottom-right crop
+    instead of crashing on a broadcast mismatch (e.g. reduced-size SR)."""
+    import jax.numpy as jnp
+    from artalk_tpu.models.gagavatar.watermark import apply_watermark
+
+    mark = jnp.asarray(rng.random((4, 82, 256)).astype(np.float32))
+    img = jnp.asarray(rng.random((1, 3, 64, 64)).astype(np.float32))
+    out = np.asarray(apply_watermark(img, mark))
+    assert out.shape == (1, 3, 64, 64)
+    crop_rgb = np.asarray(mark)[:3, -64:, -64:]
+    alpha = np.asarray(mark)[3:4, -64:, -64:] * 0.8
+    want = np.asarray(img) * (1 - alpha) + crop_rgb * alpha
+    np.testing.assert_allclose(out, want, atol=1e-6)

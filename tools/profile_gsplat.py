@@ -16,7 +16,6 @@ Run on the real TPU:  python tools/profile_gsplat.py [--iters 20]
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -25,6 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from artalk_tpu.ops import gsplat as G
+from artalk_tpu.utils.timing import timed as _timed
+
+
+def timed(name, fn, *args, iters=20):
+    return _timed(name, fn, *args, iters=iters, label_width=52)
 
 
 def make_scene(rng, n_extra):
@@ -39,18 +43,6 @@ def make_scene(rng, n_extra):
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     cam = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 1.0]], np.float32)
     return tuple(jnp.asarray(a) for a in (xyz, colors, opac, scales, q, cam))
-
-
-def timed(name, fn, *args, iters=20):
-    jax.device_get(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out)
-    ms = (time.perf_counter() - t0) / iters * 1000.0
-    print(f"{name:<52s} {ms:9.2f} ms")
-    return ms
 
 
 def main():
@@ -104,7 +96,7 @@ def main():
         padded = ((total + G.GCHUNK - 1) // G.GCHUNK) * G.GCHUNK
         key = jnp.pad(key.reshape(-1), (0, padded - total),
                       constant_values=jnp.iinfo(jnp.int32).max)
-        sorted_key = jax.lax.sort(key)
+        sorted_key = jax.lax.sort(key, is_stable=False)  # match production
         sorted_key = sorted_key[:min(padded, budget)]
         offsets = jnp.searchsorted(
             sorted_key,

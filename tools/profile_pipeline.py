@@ -13,7 +13,6 @@ Each stage is a separate jit (expect one compile per stage on first run).
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -21,17 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed(name, fn, *args, iters=10):
-    jax.device_get(fn(*args))  # compile + warmup
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out)
-    ms = (time.perf_counter() - t0) / iters * 1000.0
-    print(f"{name:<44s} {ms:9.2f} ms")
-    return ms
+from artalk_tpu.utils.timing import timed
 
 
 def main():
