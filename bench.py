@@ -161,8 +161,13 @@ def bench_batched(model, params):
 def bench_gaga():
     """BASELINE config #5: full GAGAvatar frame on the production chunk path
     (avatar._chunk_step: batched FLAME re-pose, forehead EMA scan, 180k-
-    gaussian splat, StyleUNet SR, watermark, yuv420 packing). Synthetic
-    avatar + random-init weights — identical compute to real ones."""
+    gaussian splat, StyleUNet SR, watermark, yuv420 packing).
+
+    Pessimistic workload: random-init generators put the scale heads at
+    sigmoid(~0)*0.05, i.e. ~24 px splats that SATURATE the 4/gaussian
+    instance budget (the avatar build prints the overflow warning); trained
+    reference avatars measure ~1.7 instances/gaussian, so real-checkpoint
+    frames are cheaper than this number."""
     from artalk_tpu.models.flame import FlameModel
     from artalk_tpu.models.gagavatar.avatar import FOREHEAD_INDICES, GAGAvatar
     from artalk_tpu.utils.assets import load_or_synthesize_flame
