@@ -21,7 +21,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from ...ops.resize2d import resize_bilinear
+from ...ops.resize2d import resize_bilinear, resize_bilinear_nhwc
 from .. import nn
 
 UNET_CHANNELS = {4: 256, 8: 256, 16: 256, 32: 256, 64: 128, 128: 64, 256: 32,
@@ -38,7 +38,16 @@ def _conv_init(key, cin, cout, k, bias=True):
     return p
 
 
-def _conv(p, x, stride=1, pad=0):
+def _conv(p, x, stride=1, pad=0, nhwc=False):
+    """Conv with params stored in torch (cout, cin, k, k) layout; the NHWC
+    path transposes the weight at trace time (XLA folds the transpose)."""
+    if nhwc:
+        y = jax.lax.conv_general_dilated(
+            x, p["w"].transpose(2, 3, 1, 0), (stride, stride),
+            [(pad, pad)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if "b" in p:
+            y = y + p["b"][None, None, None, :]
+        return y
     y = jax.lax.conv_general_dilated(
         x, p["w"], (stride, stride), [(pad, pad)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
@@ -51,23 +60,32 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.2)
 
 
-def _resize2x(x, up: bool):
-    h, w = x.shape[-2:]
-    y = resize_bilinear(x, h * 2 if up else h // 2, w * 2 if up else w // 2)
+def _resize2x(x, up: bool, nhwc=False):
+    h, w = (x.shape[1], x.shape[2]) if nhwc else x.shape[-2:]
+    oh, ow = (h * 2, w * 2) if up else (h // 2, w // 2)
+    y = (resize_bilinear_nhwc(x, oh, ow) if nhwc
+         else resize_bilinear(x, oh, ow))
     return y.astype(x.dtype)  # f32 resize matrices must not upcast bf16 paths
 
 
 class StyleUNet:
     def __init__(self, in_size: int = 512, out_size: int = 512,
                  in_dim: int = 32, out_dim: int = 3, num_style_feat: int = 512,
-                 num_mlp: int = 8):
+                 num_mlp: int = 8, layout: str = "nchw"):
         assert in_size <= out_size, "downscaling front-end not implemented"
+        assert layout in ("nchw", "nhwc")
         self.in_size, self.out_size = in_size, out_size
         self.in_dim, self.out_dim = in_dim, out_dim
         self.num_style_feat = num_style_feat
         self.num_mlp = num_mlp
         self.log_size = int(math.log2(out_size))
-        self.gan = StyleGAN2GeneratorCSFT(out_size, out_dim, num_style_feat, num_mlp)
+        # layout: internal compute layout. The public interface (input,
+        # output, params) is always the torch-convention NCHW; "nhwc"
+        # transposes once at entry/exit and runs every conv channels-last.
+        self.layout = layout
+        self.nhwc = layout == "nhwc"
+        self.gan = StyleGAN2GeneratorCSFT(out_size, out_dim, num_style_feat,
+                                          num_mlp, layout=layout)
 
     def init(self, key: jax.Array) -> nn.Params:
         keys = jax.random.split(key, 128)
@@ -113,10 +131,11 @@ class StyleUNet:
         }
 
     def _res(self, p, x, up: bool):
-        out = _lrelu(_conv(p["conv1"], x, pad=1))
-        out = _resize2x(out, up)
-        out = _lrelu(_conv(p["conv2"], out, pad=1))
-        return out + _conv(p["skip"], _resize2x(x, up))
+        c = self.nhwc
+        out = _lrelu(_conv(p["conv1"], x, pad=1, nhwc=c))
+        out = _resize2x(out, up, nhwc=c)
+        out = _lrelu(_conv(p["conv2"], out, pad=1, nhwc=c))
+        return out + _conv(p["skip"], _resize2x(x, up, nhwc=c), nhwc=c)
 
     def __call__(self, params: nn.Params, x: jnp.ndarray,
                  compute_dtype=None) -> jnp.ndarray:
@@ -140,28 +159,38 @@ class StyleUNet:
             # cast back: the f32 resize matrices must not silently promote a
             # bf16 compute path to f32 for the entire network
             x = resize_bilinear(x, self.out_size, self.out_size).astype(x.dtype)
-        feat = _lrelu(_conv(params["first"], x))
+        c = self.nhwc
+        if c:
+            x = x.transpose(0, 2, 3, 1)
+        feat = _lrelu(_conv(params["first"], x, nhwc=c))
         skips: List[jnp.ndarray] = []
         for p in params["down"]:
             feat = self._res(p, feat, up=False)
             skips.insert(0, feat)
-        feat = _lrelu(_conv(params["final_conv"], feat, pad=1))
-        style = nn.linear(params["final_linear"], feat.reshape(feat.shape[0], -1))
+        feat = _lrelu(_conv(params["final_conv"], feat, pad=1, nhwc=c))
+        # final_linear expects the torch C-major flatten of (B, C, 4, 4)
+        flat = feat.transpose(0, 3, 1, 2) if c else feat
+        style = nn.linear(params["final_linear"], flat.reshape(flat.shape[0], -1))
         conditions = []
         for i, p in enumerate(params["up"]):
             feat = feat + skips[i]
             feat = self._res(p, feat, up=True)
             cs = params["cond_scale"][i]
-            conditions.append(_conv(cs["c2"], _lrelu(_conv(cs["c1"], feat, pad=1)), pad=1))
+            conditions.append(_conv(cs["c2"], _lrelu(_conv(cs["c1"], feat, pad=1, nhwc=c)),
+                                    pad=1, nhwc=c))
             ct = params["cond_shift"][i]
-            conditions.append(_conv(ct["c2"], _lrelu(_conv(ct["c1"], feat, pad=1)), pad=1))
+            conditions.append(_conv(ct["c2"], _lrelu(_conv(ct["c1"], feat, pad=1, nhwc=c)),
+                                    pad=1, nhwc=c))
         image = self.gan(params["gan"], style, conditions)
+        if c:
+            image = image.transpose(0, 3, 1, 2)
         return jax.nn.sigmoid(image.astype(jnp.float32))
 
 
 class StyleGAN2GeneratorCSFT:
     def __init__(self, out_size: int, out_dim: int = 3,
-                 num_style_feat: int = 512, num_mlp: int = 8):
+                 num_style_feat: int = 512, num_mlp: int = 8,
+                 layout: str = "nchw"):
         self.out_size = out_size
         self.out_dim = out_dim
         self.num_style_feat = num_style_feat
@@ -169,6 +198,7 @@ class StyleGAN2GeneratorCSFT:
         self.log_size = int(math.log2(out_size))
         self.num_layers = (self.log_size - 2) * 2 + 1
         self.num_latent = self.log_size * 2 - 2
+        self.nhwc = layout == "nhwc"  # params stay NCHW-shaped either way
 
     def _modconv_init(self, key, cin, cout, k, demodulate=True):
         k1, k2 = jax.random.split(key)
@@ -225,7 +255,6 @@ class StyleGAN2GeneratorCSFT:
 
     def _modulated_conv(self, p, x, style, demodulate=True, upsample=False):
         """StyleGAN2 weight (de)modulation (style_clean.py:240-260)."""
-        b, cin, h, w = x.shape
         s = nn.linear(p["modulation"], style)               # (B, cin)
         weight = p["weight"] * s[:, None, :, None, None]    # (B, cout, cin, k, k)
         if demodulate:
@@ -234,27 +263,38 @@ class StyleGAN2GeneratorCSFT:
                 jnp.sum(weight.astype(jnp.float32) ** 2, axis=(2, 3, 4)) + 1e-8)
             weight = weight * demod[:, :, None, None, None].astype(weight.dtype)
         if upsample:
-            x = _resize2x(x, up=True)
+            x = _resize2x(x, up=True, nhwc=self.nhwc)
         pad = p["weight"].shape[-1] // 2
 
-        def conv_one(xi, wi):
-            return jax.lax.conv_general_dilated(
-                xi[None], wi, (1, 1), [(pad, pad)] * 2,
-                dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+        if self.nhwc:
+            def conv_one(xi, wi):
+                return jax.lax.conv_general_dilated(
+                    xi[None], wi.transpose(2, 3, 1, 0), (1, 1),
+                    [(pad, pad)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        else:
+            def conv_one(xi, wi):
+                return jax.lax.conv_general_dilated(
+                    xi[None], wi, (1, 1), [(pad, pad)] * 2,
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
 
         return jax.vmap(conv_one)(x, weight)
 
+    def _chan_last(self, a):
+        """(1, C, H, W)-shaped param -> compute layout."""
+        return a.transpose(0, 2, 3, 1) if self.nhwc else a
+
     def _style_conv(self, p, x, style, noise, upsample=False):
         out = self._modulated_conv(p["mod"], x, style, True, upsample) * (2 ** 0.5)
-        out = out + p["noise_weight"] * noise
-        out = out + p["bias"]
+        out = out + p["noise_weight"] * self._chan_last(noise)
+        out = out + self._chan_last(p["bias"])
         return _lrelu(out)
 
     def _to_rgb(self, p, x, style, skip=None):
         out = self._modulated_conv(p["mod"], x, style, demodulate=False)
-        out = out + p["bias"]
+        out = out + self._chan_last(p["bias"])
         if skip is not None:
-            out = out + _resize2x(skip, up=True)
+            out = out + _resize2x(skip, up=True, nhwc=self.nhwc)
         return out
 
     def __call__(self, params: nn.Params, style: jnp.ndarray,
@@ -267,8 +307,8 @@ class StyleGAN2GeneratorCSFT:
             s = _lrelu(nn.linear(p, s))
         noises = params["noises"]
         b = style.shape[0]
-        out = jnp.broadcast_to(params["constant_input"],
-                               (b,) + params["constant_input"].shape[1:])
+        const = self._chan_last(params["constant_input"])
+        out = jnp.broadcast_to(const, (b,) + const.shape[1:])
         out = self._style_conv(params["conv1"], out, s, noises[0])
         skip = self._to_rgb(params["to_rgb1"], out, s)
         i = 1

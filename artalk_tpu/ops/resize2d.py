@@ -51,6 +51,20 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
     return jnp.einsum("pw,...ow->...op", mx, x)
 
 
+def resize_bilinear_nhwc(x: jnp.ndarray, out_h: int, out_w: int,
+                         align_corners: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, out_h, out_w, C); same matrices as
+    ``resize_bilinear`` applied to the NHWC layout without transposes."""
+    h, w = x.shape[1], x.shape[2]
+    if h == out_h and w == out_w:
+        return x
+    build = linear_resize_matrix_align if align_corners else linear_resize_matrix
+    my = jnp.asarray(build(h, out_h))
+    mx = jnp.asarray(build(w, out_w))
+    x = jnp.einsum("oh,bhwc->bowc", my, x)
+    return jnp.einsum("pw,bowc->bopc", mx, x)
+
+
 def resize_antialias(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Antialiased bilinear resize (torchvision-resize-like) via jax.image."""
     shape = x.shape[:-2] + (out_h, out_w)

@@ -285,3 +285,17 @@ def test_render_motion_sequence_chunk_path(monkeypatch, tmp_path):
     # EMA carry threads across chunks: state was persisted for resume
     assert gaga._upper_points is not None
     assert gaga._upper_points.shape == (1, len(FOREHEAD_INDICES), 3)
+
+
+def test_style_unet_nhwc_layout_equivalence(rng):
+    """The NHWC internal layout produces the same output as NCHW from the
+    same (NCHW-shaped) params — the layout is a pure compute-order change."""
+    nchw = StyleUNet(in_size=64, out_size=64, in_dim=8, out_dim=3)
+    nhwc = StyleUNet(in_size=64, out_size=64, in_dim=8, out_dim=3,
+                     layout="nhwc")
+    params = nchw.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 64, 64)).astype(np.float32))
+    a = np.asarray(nchw(params, x))
+    b = np.asarray(nhwc(params, x))
+    assert b.shape == a.shape == (2, 3, 64, 64)
+    np.testing.assert_allclose(b, a, atol=2e-5)
