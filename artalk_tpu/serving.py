@@ -152,3 +152,64 @@ class StreamPool:
             frames = math.ceil(n / self.sample_rate * self.fps)
             out[sid] = host_motion[sid, :frames]
         return out
+
+
+def _demo(argv=None):
+    """Demo server loop: N concurrent sessions streaming one WAV.
+
+    python -m artalk_tpu.serving -a audio.wav [--sessions 4] — every session
+    streams the same audio (offset joins), printing per-tick latency and
+    aggregate throughput. Random-init weights unless a checkpoint exists.
+    """
+    import argparse
+    import os
+    import time
+
+    from .config import ModelConfig, load_config
+    from .utils.audio import load_audio_16k_mono
+    from .utils.checkpoint import load_params
+
+    ap = argparse.ArgumentParser(description=_demo.__doc__)
+    ap.add_argument("--audio_path", "-a", required=True)
+    ap.add_argument("--sessions", type=int, default=4)
+    ap.add_argument("--assets", default="assets")
+    args = ap.parse_args(argv)
+
+    cfg_path = os.path.join(args.assets, "config.json")
+    cfg = load_config(cfg_path) if os.path.exists(cfg_path) else ModelConfig()
+    model = BitwiseARModel(cfg)
+    ckpt = os.path.join(args.assets, "artalk_params.npz")
+    if os.path.exists(ckpt):
+        params = load_params(
+            ckpt, like=jax.eval_shape(model.init, jax.random.PRNGKey(0)))
+    else:
+        print(f"[artalk_tpu] no checkpoint at {ckpt}; random weights")
+        params = model.init(jax.random.PRNGKey(0))
+    pool = StreamPool(model, params, max_sessions=args.sessions)
+    audio = load_audio_16k_mono(args.audio_path)
+    ws = pool.window_samples
+    windows = [audio[i:i + ws] for i in range(0, len(audio), ws)]
+
+    sids = [pool.open_session() for _ in range(args.sessions)]
+    total_frames = 0
+    t_start = None
+    for tick, chunk in enumerate(windows):
+        t0 = time.perf_counter()
+        out = pool.step({s: chunk for s in sids})
+        ms = (time.perf_counter() - t0) * 1000.0
+        tag = "  (includes one-time compile)" if tick == 0 else ""
+        print(f"tick {tick}: {len(out)} sessions, {ms:.1f} ms "
+              f"({ms / len(out):.1f} ms/session){tag}")
+        if tick == 0:
+            t_start = time.perf_counter()  # steady-state only
+        else:
+            total_frames += sum(o.shape[0] for o in out.values())
+    if total_frames:
+        elapsed = time.perf_counter() - t_start
+        print(f"steady state: {total_frames} motion frames in {elapsed:.2f} s "
+              f"= {total_frames / elapsed:.0f} frames/s "
+              "(host-fetch included; see bench.py for device numbers)")
+
+
+if __name__ == "__main__":
+    _demo()
