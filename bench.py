@@ -61,11 +61,16 @@ def bench_motion(model, params):
     # is unreliable on tunneled platforms)
     jax.device_get(generate(params, chunks, style_cond))
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        motions = jax.device_get(generate(params, chunks, style_cond))
-    elapsed = (time.perf_counter() - t0) / iters
+    # median of per-iteration timings: each iteration pays one dev-tunnel
+    # fetch of the motion track, and a single degraded-tunnel spike must not
+    # drag the headline (observed +-10% run-to-run with a 5-iter mean)
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.device_get(generate(params, chunks, style_cond))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[len(times) // 2]
     total_frames = n_windows * model.cfg.vae.window
     return total_frames / elapsed, n_windows
 
