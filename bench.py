@@ -211,20 +211,35 @@ def main():
 
     out = {"metric": "motion_frames_per_sec", "value": None, "unit": "frames/s",
            "vs_baseline": None, "device": str(jax.devices()[0])}
-    if "motion" in SECTIONS:
+
+    def section(name, fn):
+        """One failing section must cost its key, not the whole JSON line."""
+        if name not in SECTIONS:
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — report and continue
+            import traceback
+
+            traceback.print_exc()
+            out.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+
+    def _motion():
         fps, n_windows = bench_motion(model, params)
         out.update(value=round(fps, 1), vs_baseline=round(fps / 500.0, 3),
                    real_time_factor=round(fps / cfg.fps, 2), windows=n_windows)
-    if "stream" in SECTIONS:
-        out["stream_p50_ms"] = round(bench_stream(model, params), 1)
-    if "mesh" in SECTIONS:
-        out["mesh_ms_per_frame"] = round(bench_mesh(), 2)
-    if "gsplat" in SECTIONS:
-        out["gsplat_ms_per_frame"] = round(bench_gsplat(), 1)
-    if "batched" in SECTIONS:
-        out["batched6_frames_per_sec"] = round(bench_batched(model, params), 1)
-    if "gaga" in SECTIONS:
-        out["gaga_ms_per_frame"] = round(bench_gaga(), 1)
+
+    section("motion", _motion)
+    section("stream", lambda: out.__setitem__(
+        "stream_p50_ms", round(bench_stream(model, params), 1)))
+    section("mesh", lambda: out.__setitem__(
+        "mesh_ms_per_frame", round(bench_mesh(), 2)))
+    section("gsplat", lambda: out.__setitem__(
+        "gsplat_ms_per_frame", round(bench_gsplat(), 1)))
+    section("batched", lambda: out.__setitem__(
+        "batched6_frames_per_sec", round(bench_batched(model, params), 1)))
+    section("gaga", lambda: out.__setitem__(
+        "gaga_ms_per_frame", round(bench_gaga(), 1)))
     print(json.dumps(out))
 
 
