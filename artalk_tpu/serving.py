@@ -174,6 +174,8 @@ def _demo(argv=None):
     ap.add_argument("--sessions", type=int, default=4)
     ap.add_argument("--assets", default="assets")
     args = ap.parse_args(argv)
+    if args.sessions < 1:
+        ap.error("--sessions must be >= 1")
 
     cfg_path = os.path.join(args.assets, "config.json")
     cfg = load_config(cfg_path) if os.path.exists(cfg_path) else ModelConfig()

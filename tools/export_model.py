@@ -68,15 +68,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="exported")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--checkpoint", default="assets/artalk_params.npz",
+                    help="converted params npz (tools/convert_checkpoint.py)")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. cpu,tpu (default: current)")
     args = ap.parse_args()
 
     from artalk_tpu.config import ModelConfig
-    from artalk_tpu.utils.checkpoint import save_params
+    from artalk_tpu.utils.checkpoint import load_params, save_params
 
     model = BitwiseARModel(ModelConfig())
-    params = model.init(jax.random.PRNGKey(0))
+    if os.path.exists(args.checkpoint):
+        params = load_params(args.checkpoint, like=jax.eval_shape(
+            model.init, jax.random.PRNGKey(0)))
+    else:
+        print(f"WARNING: no checkpoint at {args.checkpoint}; exporting "
+              "RANDOM-INIT weights (smoke-test artifact only, do not deploy)")
+        params = model.init(jax.random.PRNGKey(0))
     platforms = args.platforms.split(",") if args.platforms else None
     blob = export_window_step(model, params, batch=args.batch,
                               platforms=platforms)
