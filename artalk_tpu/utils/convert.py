@@ -43,6 +43,16 @@ def _stack(trees: List[dict]) -> dict:
     return jax.tree.map(lambda *xs: np.stack(xs), *trees)
 
 
+def _count(sd: StateDict, fmt: str) -> int:
+    """Number of consecutive indexed submodules: max n with a key starting
+    ``fmt.format(n)``. Lets every converter infer its depth from the state
+    dict itself, so the same code handles production and small test models."""
+    n = 0
+    while any(k.startswith(fmt.format(n)) for k in sd):
+        n += 1
+    return n
+
+
 # ---------------------------------------------------------------------------
 # wav2vec2 (HF Wav2Vec2Model state dict, xls-r layer_norm variant)
 # ---------------------------------------------------------------------------
@@ -63,8 +73,16 @@ def _materialize_weight_norm(sd: StateDict, prefix: str) -> Array:
     return (g * v / norm).astype(v.dtype)
 
 
-def convert_wav2vec(sd: StateDict, num_layers: int = 24, num_convs: int = 7) -> dict:
-    """HF Wav2Vec2Model (xls-r-300m) state dict -> Wav2VecEncoder params."""
+def convert_wav2vec(sd: StateDict, num_layers: int | None = None,
+                    num_convs: int | None = None) -> dict:
+    """HF Wav2Vec2Model (xls-r-300m) state dict -> Wav2VecEncoder params.
+
+    Layer/conv counts default to what the state dict actually contains
+    (24 / 7 for the production xls-r-300m checkpoint)."""
+    if num_layers is None:
+        num_layers = _count(sd, "encoder.layers.{}.")
+    if num_convs is None:
+        num_convs = _count(sd, "feature_extractor.conv_layers.{}.")
     convs = []
     for i in range(num_convs):
         pre = f"feature_extractor.conv_layers.{i}"
@@ -114,10 +132,12 @@ def convert_wav2vec(sd: StateDict, num_layers: int = 24, num_convs: int = 7) -> 
 # ---------------------------------------------------------------------------
 
 
-def convert_style_encoder(sd: StateDict, num_layers: int = 4, max_len: int = 600,
-                          feature_dim: int = 128) -> dict:
+def convert_style_encoder(sd: StateDict, num_layers: int | None = None,
+                          max_len: int = 600, feature_dim: int = 128) -> dict:
     from ..models.nn import sinusoidal_pe
 
+    if num_layers is None:
+        num_layers = _count(sd, "encoder.transformer.layers.{}.")
     layers = []
     for i in range(num_layers):
         pre = f"encoder.transformer.layers.{i}"
@@ -168,7 +188,10 @@ def _vae_tower(sd: StateDict, prefix: str, depth: int) -> dict:
     return _stack(layers)
 
 
-def convert_vae(sd: StateDict, depth: int = 8) -> dict:
+def convert_vae(sd: StateDict, depth: int | None = None) -> dict:
+    if depth is None:
+        # encoder_transformer interleaves [attn, ffn] per depth step
+        depth = _count(sd, "encoder.encoder_transformer.{}.") // 2
     return {
         "encoder": {
             "inp": _lin(sd, "encoder.inp_mapping.0"),
@@ -197,8 +220,11 @@ def _subdict(sd: StateDict, prefix: str) -> StateDict:
     return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def convert_ar_model(sd: StateDict, depth: int = 12, vae_depth: int = 8) -> dict:
+def convert_ar_model(sd: StateDict, depth: int | None = None,
+                     vae_depth: int | None = None) -> dict:
     """Full reference checkpoint -> BitwiseARModel params."""
+    if depth is None:
+        depth = _count(sd, "attn_blocks.{}.")
     blocks = []
     for i in range(depth):
         pre = f"attn_blocks.{i}"
@@ -242,8 +268,10 @@ def _conv(sd: StateDict, prefix: str, bias: bool = True) -> dict:
     return p
 
 
-def convert_dino_vit(sd: StateDict, depth: int = 12) -> dict:
+def convert_dino_vit(sd: StateDict, depth: int | None = None) -> dict:
     """torch-hub DINOv2 ViT state dict (dinov2_vitb14) -> DinoViT params."""
+    if depth is None:
+        depth = _count(sd, "blocks.{}.")
     blocks = []
     for i in range(depth):
         pre = f"blocks.{i}"
