@@ -171,10 +171,13 @@ class DinoDPT:
     @staticmethod
     def _conv_transpose2d(p, x, stride):
         # torch ConvTranspose2d(k=stride, stride=stride, padding=0) weight
-        # layout (in, out, k, k)
+        # layout (in, out, k, k). transpose_kernel=True gives torch's
+        # gradient-of-conv semantics (spatial flip + in/out channel swap), and
+        # with it the torch weight reads as OIHW (O=in, I=out). Verified exact
+        # (0.0 abs diff) vs torch in tests/test_reference_parity_gaga.py.
         y = jax.lax.conv_transpose(
             x, p["w"], strides=(stride, stride), padding="VALID",
-            dimension_numbers=("NCHW", "IOHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True)
         if "b" in p:
             y = y + p["b"][None, :, None, None]
         return y

@@ -70,7 +70,12 @@ class LinearGSGenerator:
         colors = colors.at[..., :3].set(jax.nn.sigmoid(colors[..., :3]))
         opacities = jax.nn.sigmoid(_mlp(params["opacity"], feat))
         scales = jax.nn.sigmoid(_mlp(params["scale"], feat)) * 0.05
-        rotations = nn.l2_normalize(_mlp(params["rotation"], feat))
+        # Reference quirk (models.py:191-192): F.normalize with its DEFAULT
+        # dim=1 on a (B, N, 4) tensor -- the l2-norm runs over the N vertex
+        # axis, not the quaternion components (contrast ConvGSGenerator,
+        # where the NCHW layout makes dim=1 the quaternion axis). Checkpoint
+        # parity requires the same axis.
+        rotations = nn.l2_normalize(_mlp(params["rotation"], feat), axis=1)
         return {"colors": colors, "opacities": opacities, "scales": scales,
                 "rotations": rotations}
 
@@ -120,7 +125,12 @@ class ConvGSGenerator:
         g = conv(params["conv4"], x, 1)                      # (B, 41, H, W)
 
         colors = g[:, :32]
-        colors = colors.at[:, :3].set(jax.nn.sigmoid(colors[:, :3]))
+        # Reference quirk (models.py:215-216): on this NCHW map the reference
+        # writes ``colors[..., :3] = sigmoid(colors[..., :3])`` -- the first 3
+        # *width columns* (all 32 channels), NOT the first 3 channels as in
+        # LinearGSGenerator (models.py:181-182). Checkpoints were exported
+        # against that behavior, so parity requires replicating it verbatim.
+        colors = colors.at[..., :3].set(jax.nn.sigmoid(colors[..., :3]))
         opacities = jax.nn.sigmoid(g[:, 32:33])
         scales = jax.nn.sigmoid(g[:, 33:36]) * 0.05
         rotations = g[:, 36:40]

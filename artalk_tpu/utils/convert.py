@@ -343,9 +343,15 @@ def convert_gs_generator_conv(sd: StateDict) -> dict:
     }
 
 
-def convert_style_unet(sd: StateDict, log_size: int = 9) -> dict:
+def convert_style_unet(sd: StateDict, log_size: int | None = None) -> dict:
     """StyleUNet + StyleGAN2GeneratorCSFT (style_unet.py:13-218)."""
+    if log_size is None:  # infer from the UNet downsample chain (9 at 512^2)
+        log_size = _count(sd, "conv_body_down.{}.") + 2
     n_up = log_size - 2
+    # style_mlp is Sequential(NormStyleCode, [Linear, LeakyReLU] * num_mlp):
+    # only odd indices carry params (style_clean.py:137-144)
+    num_mlp = sum(1 for i in range(64)
+                  if f"stylegan_decoder.style_mlp.{1 + 2 * i}.weight" in sd)
 
     def res_block(pre):
         return {"conv1": _conv(sd, f"{pre}.conv1"),
@@ -367,7 +373,7 @@ def convert_style_unet(sd: StateDict, log_size: int = 9) -> dict:
 
     gan = {
         "style_mlp": [_lin(sd, f"stylegan_decoder.style_mlp.{1 + 2 * i}")
-                      for i in range(8)],
+                      for i in range(num_mlp)],
         "constant_input": sd["stylegan_decoder.constant_input.weight"],
         "conv1": style_conv("stylegan_decoder.style_conv1"),
         "to_rgb1": to_rgb("stylegan_decoder.to_rgb1"),

@@ -105,7 +105,9 @@ def test_linear_gs_generator_shapes(rng):
     r = np.asarray(out["rotations"])
     assert (0 <= o).all() and (o <= 1).all()
     assert (0 <= s).all() and (s <= 0.05).all()
-    np.testing.assert_allclose(np.linalg.norm(r, axis=-1), 1.0, atol=1e-5)
+    # reference quirk (models.py:191-192): F.normalize runs over the VERTEX
+    # axis (dim=1), so the unit norm is per quaternion-component column
+    np.testing.assert_allclose(np.linalg.norm(r, axis=1), 1.0, atol=1e-5)
 
 
 def test_conv_gs_generator_shapes(rng):

@@ -24,9 +24,7 @@ instructions from that repo, only its nn.Modules.
 
 from __future__ import annotations
 
-import importlib.machinery
 import pathlib
-import sys
 import types
 
 import numpy as np
@@ -54,24 +52,13 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def ref():
     """Import the real reference package (with torchvision/torchaudio stubs)."""
-    for name in ("torchvision", "torchaudio"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
-            sys.modules[name] = mod
-    sys.path.insert(0, str(REFERENCE))
-    try:
-        import app.models as ref_models
-        import app.modules.bitwise_vae as ref_vae_mod
-        import app.modules.style_encoder as ref_style_mod
-        import app.transformer as ref_transformer
-    finally:
-        sys.path.remove(str(REFERENCE))
+    from _ref_stubs import import_reference
+
     return types.SimpleNamespace(
-        models=ref_models,
-        vae=ref_vae_mod,
-        style=ref_style_mod,
-        transformer=ref_transformer,
+        models=import_reference("app.models"),
+        vae=import_reference("app.modules.bitwise_vae"),
+        style=import_reference("app.modules.style_encoder"),
+        transformer=import_reference("app.transformer"),
     )
 
 
