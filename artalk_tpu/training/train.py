@@ -45,7 +45,19 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="checkpoints/trained.npz")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-process job (jax.distributed.initialize; "
+                        "topology from TPU metadata or JAX_* env vars) before "
+                        "building the pod-wide mesh")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from ..parallel.distributed import initialize_multihost
+
+        info = initialize_multihost()
+        print(f"[train] multihost: process {info['process_id']}/"
+              f"{info['num_processes']}, {info['local_devices']} local / "
+              f"{info['global_devices']} global devices")
 
     cfg = ModelConfig()
     if args.synthetic or args.data is None:

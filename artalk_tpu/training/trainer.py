@@ -47,6 +47,7 @@ def make_vae_train_step(vae: BitwiseVAE, optimizer, mesh: Optional[Mesh] = None)
             return vae_loss(vae, p, prev_motion, this_motion)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
@@ -76,6 +77,7 @@ def make_ar_train_step(model: BitwiseARModel, optimizer, mesh: Optional[Mesh] = 
                            style_motion, drop_path_rng=dp_rng)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
