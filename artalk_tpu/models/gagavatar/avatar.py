@@ -243,15 +243,32 @@ class GAGAvatar:
         cam = jnp.concatenate([
             transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
             self._feature_cache["transform"][:, 3:4]], axis=-1)
+        # The cached gs xyz has zeros in the head rows (replaced per frame by
+        # re-posed FLAME vertices in _frame_step); substitute the
+        # neutral-pose vertices so head splats count toward the budget.
+        xyz = gs["xyz"]
+        try:
+            from ...models.flame import FlameModel
+            from ...utils.assets import load_or_synthesize_flame
+
+            flame = FlameModel(load_or_synthesize_flame(self.assets_dir),
+                               n_shape=300, n_exp=100, scale=5.0)
+            neutral = flame(self._feature_cache["shapecode"],
+                            jnp.zeros((1, 100)), jnp.zeros((1, 6)))
+            xyz = xyz.at[:, :NUM_FLAME_VERTS].set(neutral)
+        except Exception as exc:  # count without the head rows (~3% low)
+            print(f"[artalk_tpu] instance-budget check: no FLAME assets "
+                  f"({exc}); head splats excluded from the count")
         count = int(count_valid_instances(
-            gs["xyz"][0], gs["opacities"][0], gs["scales"][0],
+            xyz[0], gs["opacities"][0], gs["scales"][0],
             gs["rotations"][0], cam,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
         if count > 0.8 * budget:
+            rel = ("exceeds" if count > budget else "is within 20% of")
             print(f"[artalk_tpu] WARNING: avatar emits {count} splat "
-                  f"instances at neutral pose, within 20% of the per-frame "
-                  f"budget {budget}; extreme poses may drop gaussians. "
-                  "Raise ARTALK_GSPLAT_MAX_INSTANCES (0 = exact).")
+                  f"instances at neutral pose, which {rel} the per-frame "
+                  f"budget {budget}; far gaussians of the bottom image rows "
+                  "may be dropped. Raise ARTALK_GSPLAT_MAX_INSTANCES (0 = exact).")
 
     # -------------------------------------------------------------- per frame
 

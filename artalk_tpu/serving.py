@@ -142,9 +142,14 @@ class StreamPool:
         stepped = np.zeros((self.capacity,), bool)
         for sid in chunks:
             stepped[sid] = True
-        self._state, motion = self._step(self.params, self._state,
-                                         jnp.asarray(buf), self._styles,
-                                         jnp.asarray(stepped))
+        # DONATION INVARIANT: self._state's buffers are donated to the jitted
+        # step, so ALL input validation must happen before this call -- an
+        # exception raised after donation would leave the pool permanently
+        # broken. Commit to self._state only once the call has returned.
+        new_state, motion = self._step(self.params, self._state,
+                                       jnp.asarray(buf), self._styles,
+                                       jnp.asarray(stepped))
+        self._state = new_state
 
         host_motion = np.asarray(motion)
         out = {}

@@ -70,7 +70,7 @@ def main():
 
     def _through_keys(xyz, scales, rots, opacities, stop):
         """Re-trace of _build_instances up to `stop` (kept in sync by the
-        S4-vs-sum sanity line the tool prints)."""
+        S3-vs-production sanity line the tool prints at the end)."""
         comp = G._project_components(xyz, scales, rots, cam, focal, size)
         op = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
         tiles_x = size // G.GTILE_W
@@ -133,6 +133,25 @@ def main():
                     ("instance gather", t3 - t2),
                     ("compositing kernel", t4 - t3)]:
         print(f"{name:<52s} {d:9.2f} ms")
+
+    # sanity: the hand-copied S3 re-trace must reproduce production
+    # _build_instances exactly, or the stage numbers above are fiction
+    def s3_production(xyz, scales, rots, opacities):
+        comp = G._project_components(xyz, scales, rots, cam, focal, size)
+        op = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
+        geo, cols, offsets = G._build_instances(comp, op, colors, size,
+                                                max_instances=budget)
+        return jnp.sum(geo) + jnp.sum(cols) + jnp.sum(offsets)
+
+    retraced = float(jax.device_get(
+        jax.jit(lambda *a: _through_keys(*a, stop="gather"))(
+            xyz, scales, rots, opac)))
+    production = float(jax.device_get(jax.jit(s3_production)(
+        xyz, scales, rots, opac)))
+    rel = abs(retraced - production) / max(abs(production), 1e-9)
+    status = "OK" if rel < 1e-5 else "DRIFT -- fix _through_keys"
+    print(f"\nS3 sanity vs production _build_instances: {status} "
+          f"(re-trace {retraced:.8g} vs production {production:.8g})")
 
 
 if __name__ == "__main__":
