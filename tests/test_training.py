@@ -113,3 +113,39 @@ def test_data_pipeline_end_to_end():
                                   batch["this_motion"], batch["style_motion"])
             losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses)) and len(losses) == 4
+
+
+def test_overfit_one_clip_learns_decode_path(data):
+    """Overfit proof (round-2 verdict #5): teacher-forced training on ONE
+    fixed clip drives bit_accuracy ~ 1.0, and the free-running KV-cached
+    decode then reproduces the clip's codes -- the teacher-forced loss and
+    the inference decode are provably the same model, not merely a loss that
+    happens to decrease."""
+    model = BitwiseARModel(CFG)
+    params = model.init(jax.random.PRNGKey(3))
+    optimizer = make_optimizer(lr=3e-3, weight_decay=0.0, warmup_steps=20,
+                               total_steps=400)
+    state = init_state(params, optimizer)
+    # deterministic: no stochastic depth while overfitting
+    step = make_ar_train_step(model, optimizer, drop_path=False)
+    audio = data["audio"][:1]
+    prev, this = data["prev"][:1], data["this"][:1]
+
+    acc = 0.0
+    for i in range(400):
+        state, metrics = step(state, audio, prev, this)
+        if (i + 1) % 25 == 0:
+            acc = float(jax.device_get(metrics["bit_accuracy"]))
+            if acc >= 0.995:
+                break
+    assert acc >= 0.98, f"failed to overfit one clip: bit_acc={acc}"
+
+    p = state.params
+    prev_bits, this_bits = model.vae.encode_to_bits(p["vae"], prev, this)
+    style_cond = p["null_style_cond"]
+    prefix = model._prefix_from_bits(p, style_cond, prev_bits, tile=True)
+    audio_cond = model.audio_condition(p, audio)
+    decoded = model.decode_window(p, audio_cond, style_cond, prefix)
+    assert decoded.shape == this_bits.shape
+    match = float(jnp.mean((decoded == this_bits).astype(jnp.float32)))
+    assert match >= 0.95, f"free-running decode reproduces only {match:.3f} of codes"
