@@ -102,6 +102,32 @@ class StreamPool:
             raise KeyError(f"unknown session {sid}")
         self._free.append(sid)
 
+    def grow(self, new_capacity: int) -> None:
+        """Raise capacity WITHOUT losing live sessions.
+
+        Existing carries/styles keep their slot ids (re-padded into larger
+        batched buffers); the new slots join the free list. The batched step
+        retraces at the new shape on the next tick -- a one-time compile, so
+        grow ahead of load (e.g. at double the expected watermark) rather
+        than per joining session. Shrinking is deliberately unsupported:
+        closing sessions already frees slots, and compacting ids would
+        rename live sessions under the caller."""
+        new_capacity = int(new_capacity)
+        if new_capacity <= self.capacity:
+            raise ValueError(
+                f"grow: new capacity {new_capacity} must exceed {self.capacity}")
+        extra = new_capacity - self.capacity
+        self._styles = jnp.concatenate(
+            [self._styles, jnp.tile(self._null_style, (extra, 1, 1))], axis=0)
+        fresh = self.model.initial_state(self.params, self._null_style,
+                                         batch_size=extra)
+        self._state = WindowState(
+            jnp.concatenate([self._state.prev_bits, fresh.prev_bits], axis=0),
+            jnp.concatenate([self._state.prev_attn_feat,
+                             fresh.prev_attn_feat], axis=0))
+        self._free = list(range(self.capacity, new_capacity))[::-1] + self._free
+        self.capacity = new_capacity
+
     @property
     def active_sessions(self):
         return sorted(self._active)

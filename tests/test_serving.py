@@ -111,3 +111,33 @@ def test_unknown_session_rejected(model_and_params):
     pool = StreamPool(model, params, max_sessions=1)
     with pytest.raises(KeyError):
         pool.step({0: np.zeros(16, np.float32)})
+
+
+def test_grow_preserves_live_sessions(model_and_params):
+    """grow() re-pads carries into a bigger pool without perturbing live
+    sessions: their post-grow windows must equal the same stream decoded
+    alone, and new slots must be usable."""
+    model, params = model_and_params
+    rng = np.random.default_rng(7)
+    ws = model.window_samples
+    clip = [rng.standard_normal(ws).astype(np.float32) * 0.1 for _ in range(3)]
+    want = _single_stream(model, params, None, clip)
+
+    pool = StreamPool(model, params, max_sessions=2)
+    sid = pool.open_session()
+    out0 = pool.step({sid: clip[0]})[sid]
+    np.testing.assert_allclose(out0, want[0], atol=1e-5)
+
+    with pytest.raises(ValueError):
+        pool.grow(2)  # must strictly increase
+    pool.grow(4)
+    assert pool.capacity == 4
+    # live session continues bit-exactly across the resize
+    out1 = pool.step({sid: clip[1]})[sid]
+    np.testing.assert_allclose(out1, want[1], atol=1e-5)
+    # new capacity is genuinely usable: fill all 4 slots
+    others = [pool.open_session() for _ in range(3)]
+    outs = pool.step({sid: clip[2], others[0]: clip[0],
+                      others[1]: clip[0], others[2]: clip[0]})
+    np.testing.assert_allclose(outs[sid], want[2], atol=1e-5)
+    np.testing.assert_allclose(outs[others[0]], want[0], atol=1e-5)
