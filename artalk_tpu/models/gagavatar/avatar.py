@@ -107,11 +107,22 @@ class GAGAvatar:
                  bf16_sr: Optional[bool] = None):
         self.assets_dir = assets_dir
         self.interpret = interpret
-        # opt-in bf16 super-resolution (StyleUNet compute dtype); default f32
-        # for reference parity. None -> ARTALK_BF16_SR env toggle.
+        # Precision mode. "fast" (default): bf16 StyleUNet compute + bf16
+        # splat color storage -- both feed 8-bit video, where the bf16 noise
+        # sits at the quantization floor; measured ~1.9 ms/frame on a v5e
+        # (tools/profile_gaga.py). "exact": full f32, bit-stable vs the
+        # reference semantics. ARTALK_BF16_SR (legacy env) still overrides
+        # the SR leg alone.
+        precision = os.environ.get("ARTALK_GAGA_PRECISION", "fast")
+        assert precision in ("fast", "exact"), precision
         if bf16_sr is None:
-            bf16_sr = os.environ.get("ARTALK_BF16_SR", "0") not in ("0", "")
+            env_sr = os.environ.get("ARTALK_BF16_SR")
+            if env_sr is not None:
+                bf16_sr = env_sr not in ("0", "")
+            else:
+                bf16_sr = precision == "fast"
         self.bf16_sr = bf16_sr
+        self.bf16_colors = precision == "fast"
         self.base_model = DinoDPT(output_dim=256)
         self.gs_generator_g = LinearGSGenerator(in_dim=1024, dir_dim=27)
         self.gs_generator_l0 = ConvGSGenerator(in_dim=256, dir_dim=27)
@@ -279,7 +290,8 @@ class GAGAvatar:
             gs_params["scales"][0], gs_params["rotations"][0], cam_matrix,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
             interpret=self.interpret,
-            max_instances=_instance_budget(xyz.shape[1]))
+            max_instances=_instance_budget(xyz.shape[1]),
+            bf16_colors=self.bf16_colors)
         sr = self.upsampler(upsampler_params, render[None],
                             compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
         return apply_watermark(jnp.clip(sr, 0.0, 1.0), self._watermark)
@@ -341,7 +353,8 @@ class GAGAvatar:
                 gs_params["scales"][0], gs_params["rotations"][0], cam,
                 focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
                 interpret=self.interpret,
-                max_instances=_instance_budget(xyz.shape[0]))
+                max_instances=_instance_budget(xyz.shape[0]),
+                bf16_colors=self.bf16_colors)
             sr = self.upsampler(
                 upsampler_params, render[None],
                 compute_dtype=jnp.bfloat16 if self.bf16_sr else None)

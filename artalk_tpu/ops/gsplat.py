@@ -264,7 +264,10 @@ def _build_instances(comp: dict, opac, colors, size: int,
     The instance sort is latency-bound on a tunneled TPU, so every 1.44M-row
     pass is minimized to exactly three: one payload-free ``lax.sort`` of
     int32 keys, one searchsorted for the segment offsets, and ONE packed
-    (geo+color) gather. Depth order is folded into the key -- gaussians are
+    (geo+color) gather (when colors are bfloat16 the packed table splits
+    into an f32 geo gather + a half-traffic bf16 color gather -- positions
+    must stay f32, bf16 at 512 px quantizes to ~2 px). Depth order is folded
+    into the key -- gaussians are
     depth-sorted once (N elements, DUP x smaller), and each instance's key is
     ``tile_id << rank_bits | depth_rank`` where the rank is just the row
     index after the permutation, so both the tile segment boundaries and the
@@ -286,12 +289,15 @@ def _build_instances(comp: dict, opac, colors, size: int,
     # packed per-gaussian table, depth-ordered, feature-major for the final
     # lane-aligned gather: rows 0..7 = [mx, my, ca, cb, cc, op, 0, 0]
     # (padded 6 -> 8 for sublane-aligned kernel DMA), rows 8..39 = colors.
-    zeros = jnp.zeros((n,), colors.dtype)
-    table = jnp.concatenate([
-        jnp.stack([comp["mx"], comp["my"], comp["ca"], comp["cb"], comp["cc"],
-                   opac, zeros, zeros]),
-        colors.T,
-    ], axis=0)[:, perm]                                   # (8 + CHANNELS, n)
+    zeros = jnp.zeros((n,), jnp.float32)
+    geo_rows = jnp.stack([comp["mx"], comp["my"], comp["ca"], comp["cb"],
+                          comp["cc"], opac, zeros, zeros])
+    split = colors.dtype != geo_rows.dtype
+    if split:  # bf16 colors: separate tables, one gather each
+        table = geo_rows[:, perm]                         # (8, n) f32
+        col_table = colors.T[:, perm]                     # (CHANNELS, n) bf16
+    else:
+        table = jnp.concatenate([geo_rows, colors.T], axis=0)[:, perm]
     mx_s, my_s = table[0], table[1]
     opac_s = table[5]
     radius_s = comp["radius"][perm]
@@ -345,6 +351,8 @@ def _build_instances(comp: dict, opac, colors, size: int,
     # across groups i — depth-consecutive gaussians sit at the same lane of
     # consecutive member slices, enabling the two-level in-chunk scan.
     src = src.reshape(-1, GGROUPS, GMEMBERS).swapaxes(1, 2).reshape(-1)
+    if split:
+        return table[:, src], col_table[:, src], offsets
     data = table[:, src]                                  # (8 + CHANNELS, P)
     return data[:8], data[8:], offsets
 
@@ -447,7 +455,7 @@ def _splat_kernel(offsets_ref, geo_ref, cols_ref, out_ref,
         cum = _cumprod_lanes(prefix)
         excl = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=-1)
         e = excl * t                                        # (P, GGROUPS)
-        cols = cols_vmem[slot]                              # (32, GCHUNK)
+        cols = cols_vmem[slot].astype(jnp.float32)          # (32, GCHUNK)
         for m in range(GMEMBERS):
             color = color + jax.lax.dot_general(
                 weights[m] * e, cols[:, m * GGROUPS:(m + 1) * GGROUPS],
@@ -475,11 +483,12 @@ def _splat_kernel(offsets_ref, geo_ref, cols_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("focal", "size", "interpret",
-                                    "max_instances"))
+                                    "max_instances", "bf16_colors"))
 def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
                         focal: float = 12.0, size: int = 512,
                         interpret: bool = False,
-                        max_instances: int | None = None) -> jnp.ndarray:
+                        max_instances: int | None = None,
+                        bf16_colors: bool = False) -> jnp.ndarray:
     """Full tiled gaussian rasterization -> (CHANNELS, size, size).
 
     Single scene (no batch); vmap/loop at a higher level. Matches the CUDA
@@ -491,8 +500,16 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
     budget. Exact as long as it exceeds the scene's valid instance count
     (``count_valid_instances``); beyond that, far gaussians of high tile ids
     are dropped (see _build_instances). None = exact for any scene.
+
+    bf16_colors: store/gather/DMA the 32-channel colors in bfloat16 (the
+    geometry stays f32). Halves the dominant color-gather traffic; the
+    compositing matmul still accumulates in f32, so the output error is
+    bf16-quantization of the inputs (~3e-3 relative) -- at the 8-bit video
+    quantization floor downstream. Default off = bit-exact reference path.
     """
     assert size % GTILE_H == 0 and size % GTILE_W == 0
+    if bf16_colors:
+        colors = colors.astype(jnp.bfloat16)
     comp = _project_components(xyz, scales, rotations, cam_matrix, focal, size)
     opac = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
     geo, cols, offsets = _build_instances(comp, opac, colors, size,
@@ -514,7 +531,7 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, GCHUNK), jnp.float32),
-            pltpu.VMEM((2, CHANNELS, GCHUNK), jnp.float32),
+            pltpu.VMEM((2, CHANNELS, GCHUNK), cols.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

@@ -172,7 +172,12 @@ def bench_gaga():
     sigmoid(~0)*0.05, i.e. ~24 px splats that SATURATE the 4/gaussian
     instance budget (the avatar build prints the overflow warning); trained
     reference avatars measure ~1.7 instances/gaussian, so real-checkpoint
-    frames are cheaper than this number."""
+    frames are cheaper than this number.
+
+    Measures the avatar's DEFAULT precision mode ("fast": bf16 SR compute +
+    bf16 splat color storage, both at the 8-bit video quantization floor;
+    ARTALK_GAGA_PRECISION=exact restores full f32). The separate ``gsplat``
+    section stays on the exact f32 kernel path."""
     from artalk_tpu.models.flame import FlameModel
     from artalk_tpu.models.gagavatar.avatar import FOREHEAD_INDICES, GAGAvatar
     from artalk_tpu.utils.assets import load_or_synthesize_flame

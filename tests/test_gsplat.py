@@ -149,3 +149,18 @@ def test_budgeted_instances_truncates_gracefully(rng):
     # the first chunk's worth of instances is still composited exactly where
     # segments survived; everything else is zero (dropped tiles render black)
     assert (out != 0).sum() <= (exact != 0).sum()
+
+
+def test_bf16_colors_close_to_f32(rng):
+    """bf16 color storage changes only color quantization (~3e-3 relative);
+    geometry/alpha stay f32, so structure is identical."""
+    args = _scene(rng)
+    f32 = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                         interpret=True))
+    bf16 = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                          interpret=True, bf16_colors=True))
+    assert bf16.dtype == np.float32
+    # pixels hit are the same set (alpha path untouched)
+    np.testing.assert_array_equal(f32 == 0.0, bf16 == 0.0)
+    np.testing.assert_allclose(bf16, f32, atol=2e-2, rtol=2e-2)
+    assert np.abs(bf16 - f32).mean() < 2e-3
