@@ -1,12 +1,20 @@
 """Fused blockwise (flash) attention with additive bias, Pallas TPU.
 
-The attention sites in this framework are short (<=362 tokens for the AR
-window, ~199 for wav2vec), so XLA's fused SDPA is already near-optimal there;
-this kernel exists for the scaling story (SURVEY 7.2 step 4): it is written
-blockwise with an online-softmax accumulator, so sequence length scales to
-whatever HBM holds with O(block) VMEM, and it supports the additive attention
-bias the VAR mask / two-window VAE mask need. It composes with shard_map if
-windows are ever widened (blockwise == ring-attention-ready).
+MEASURED AND RETIRED for the production sites (round-3 A/B,
+tools/bench_flash_attention.py, v5e): XLA's fused SDPA wins at every length
+in play --
+
+    wav2vec encode site (199 tok, 24 layers): 8.66 ms vs 9.37 ms (+8.2%)
+    standalone B=1 H=16 hd=64: seq 256 +21%, 512 +49%, 1024 +161%,
+    2048 +33%, 4096 +36% for the Pallas kernel
+
+so ``use_flash_attention`` stays False everywhere and this kernel is kept
+only as the long-window scaling artifact (online-softmax accumulator,
+additive-bias support, shard_map/ring-attention-ready blocking). Known
+limitation, found by the same sweep: K/V are staged whole into VMEM per
+grid step (BlockSpec (1, pk, hd)), so kv_len is capped at ~4096 on a 16MB
+VMEM part -- a true O(block)-VMEM variant would DMA K/V blocks from HBM and
+only matters beyond the materialized-bias regime.
 
 Numerics: logits and softmax accumulate in f32 regardless of input dtype
 (matches models/nn.py sdpa semantics).

@@ -15,6 +15,8 @@ accordingly.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
@@ -22,10 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from artalk_tpu.config import Wav2VecConfig
-from artalk_tpu.models import nn
-from artalk_tpu.models.wav2vec import Wav2VecEncoder
-from artalk_tpu.ops.attention import flash_attention
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from artalk_tpu.config import Wav2VecConfig  # noqa: E402
+from artalk_tpu.models import nn  # noqa: E402
+from artalk_tpu.models.wav2vec import Wav2VecEncoder  # noqa: E402
+from artalk_tpu.ops.attention import flash_attention  # noqa: E402
 
 
 def timed(fn, *args, iters=10):
@@ -57,8 +61,10 @@ def encoder_ab():
 
 def scaling_sweep():
     print("== standalone attention, B=1 H=16 hd=64, f32, 50 chained calls ==")
+    # 8192 omitted: the kernel stages whole K/V in VMEM and OOMs there
+    # (16.25M > 16M scoped vmem) -- see ops/attention.py docstring
     rng = np.random.default_rng(0)
-    for seq in (256, 512, 1024, 2048, 4096, 8192):
+    for seq in (256, 512, 1024, 2048, 4096):
         q = jnp.asarray(rng.standard_normal((1, 16, seq, 64)).astype(np.float32))
         k = jnp.asarray(rng.standard_normal((1, 16, seq, 64)).astype(np.float32))
         v = jnp.asarray(rng.standard_normal((1, 16, seq, 64)).astype(np.float32))
