@@ -10,11 +10,20 @@ session's rows of the batched :class:`WindowState` and style table.
 
 Why batching is the right TPU shape: the window step is dominated by small
 matmuls (768-d AR blocks, 512-d VAE) that leave the MXU mostly idle at B=1.
-Measured on a v5e (pipelined device timing): B=1 step 12.9 ms; B=8 step
-34.7 ms = 4.34 ms per session-window, a 3x per-stream efficiency gain. At
-the 4-second window cadence one chip therefore sustains on the order of
-9e2 concurrent real-time streams (4 s / 34.7 ms * 8 sessions/tick), each
-seeing ~35 ms per-window latency against the 200 ms budget (BASELINE.md).
+Measured scaling curve on a v5e (tools/bench_streampool.py, pipelined
+device timing, round 3):
+
+    B=1   14.16 ms/tick   14.16 ms/session-window    ~282 RT streams
+    B=2   17.19            8.60                      ~465
+    B=4   23.73            5.93                      ~674
+    B=8   35.60            4.45                      ~899
+    B=16  63.46            3.97                     ~1008
+    B=32 124.14            3.88                     ~1031
+
+The efficiency knee is B=16 (B=32 adds only ~2% throughput for 2x tick
+latency); every point keeps per-window latency far inside the 200 ms budget
+(BASELINE.md) at the 4-second window cadence. Grow capacity ahead of load
+with :meth:`StreamPool.grow` (one recompile per new batch shape).
 
 Usage::
 
