@@ -48,17 +48,47 @@ CAM_PARAMS = {"focal": 12.0, "size": 512}
 
 
 def _instance_budget(n_gaussians: int) -> Optional[int]:
-    """Static (gaussian, tile) instance cap for rasterize_gaussians.
+    """Default static (gaussian, tile) instance cap for rasterize_gaussians.
 
     The avatar workload emits ~1.7 valid instances per gaussian (measured via
     count_valid_instances on the 180 255-gaussian scene); 4 per gaussian is a
     ~2.3x margin and still halves the prepass gather vs the full 8-slot
     budget. Override with ARTALK_GSPLAT_MAX_INSTANCES (0 = exact/unbudgeted).
+
+    Per-avatar auto-budgeting (``_select_budget``) tightens this to the
+    smallest bucket that fits the avatar's measured neutral-pose count with
+    headroom -- the prepass gather scales with the budget, so trained
+    avatars (~1.7/gaussian) run with half the gather traffic of this
+    worst-case default.
     """
     env = os.environ.get("ARTALK_GSPLAT_MAX_INSTANCES")
     if env is not None:
         return int(env) or None
     return 4 * n_gaussians
+
+
+BUDGET_BUCKETS = (2, 3, 4)  # instances/gaussian; bucketed so at most
+                            # len(BUDGET_BUCKETS) compiled frame shapes exist
+
+
+def _select_budget(neutral_count: int, n_gaussians: int,
+                   headroom: float = 1.4) -> Optional[int]:
+    """Smallest budget bucket covering ``headroom * neutral_count``.
+
+    Poses move only the 5 023 head gaussians plus the camera, so the
+    neutral-pose instance count is a good predictor; 1.4x headroom absorbs
+    pose-driven growth. Falls back to the env override / worst-case default
+    semantics of ``_instance_budget``. Counts beyond the largest bucket keep
+    the largest (the overflow warning covers that case).
+    """
+    env = os.environ.get("ARTALK_GSPLAT_MAX_INSTANCES")
+    if env is not None:
+        return int(env) or None
+    need = headroom * neutral_count
+    for per_g in BUDGET_BUCKETS:
+        if per_g * n_gaussians >= need:
+            return per_g * n_gaussians
+    return BUDGET_BUCKETS[-1] * n_gaussians
 
 
 def prep_frame_chunk(flame_model, shapecode, base_transform, motions_k,
@@ -150,7 +180,11 @@ class GAGAvatar:
         self._gs_params = None
         self._feature_cache = None
         self._upper_points = None
-        self._frame_fn = jax.jit(self._frame_step)
+        # compiled step caches are keyed by the active instance budget: the
+        # budget is a trace-time constant, so reusing an executable compiled
+        # for another avatar's budget would silently mis-size the prepass
+        self._budget: Optional[int] = None
+        self._frame_fns = {}
         self._chunk_fns = {}
         self._gs_compute_fn = None
 
@@ -193,6 +227,7 @@ class GAGAvatar:
         self._gs_params = None
         self._feature_cache = None
         self._upper_points = None
+        self._budget = None  # re-selected on the next _build_gs_params
 
     # ------------------------------------------------------------- build once
 
@@ -240,16 +275,17 @@ class GAGAvatar:
         self._check_instance_budget()
 
     def _check_instance_budget(self):
-        """Once per avatar: neutral-pose valid-instance count vs the static
-        per-frame budget. The budgeted gather drops far gaussians of the
-        bottom image rows when exceeded (ops/gsplat.py _build_instances), so
-        an avatar whose splats emit near the cap gets a loud warning instead
-        of silently losing geometry on out-of-distribution poses."""
+        """Once per avatar: count neutral-pose valid instances, auto-select
+        the per-avatar budget bucket (``_select_budget``), and warn loudly
+        when even the largest bucket is tight. The budgeted gather drops far
+        gaussians of the bottom image rows when exceeded
+        (ops/gsplat.py _build_instances)."""
         from ...ops.gsplat import count_valid_instances
 
         gs = self._gs_params
-        budget = _instance_budget(int(gs["xyz"].shape[1]))
-        if not budget:
+        n = int(gs["xyz"].shape[1])
+        if not _instance_budget(n):  # env requested the exact/unbudgeted path
+            self._budget = None
             return
         cam = jnp.concatenate([
             transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
@@ -274,12 +310,20 @@ class GAGAvatar:
             xyz[0], gs["opacities"][0], gs["scales"][0],
             gs["rotations"][0], cam,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+        self._budget = _select_budget(count, n)
+        budget = self._budget
+        print(f"[artalk_tpu] avatar budget: {count} neutral-pose instances "
+              f"-> {budget} ({budget // n}/gaussian bucket)")
         if count > 0.8 * budget:
             rel = ("exceeds" if count > budget else "is within 20% of")
             print(f"[artalk_tpu] WARNING: avatar emits {count} splat "
                   f"instances at neutral pose, which {rel} the per-frame "
                   f"budget {budget}; far gaussians of the bottom image rows "
                   "may be dropped. Raise ARTALK_GSPLAT_MAX_INSTANCES (0 = exact).")
+
+    def _active_budget(self, n_gaussians: int) -> Optional[int]:
+        return (self._budget if self._budget is not None
+                else _instance_budget(n_gaussians))
 
     # -------------------------------------------------------------- per frame
 
@@ -290,7 +334,7 @@ class GAGAvatar:
             gs_params["scales"][0], gs_params["rotations"][0], cam_matrix,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
             interpret=self.interpret,
-            max_instances=_instance_budget(xyz.shape[1]),
+            max_instances=self._active_budget(xyz.shape[1]),
             bf16_colors=self.bf16_colors)
         sr = self.upsampler(upsampler_params, render[None],
                             compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
@@ -325,8 +369,11 @@ class GAGAvatar:
         """One frame: re-posed gaussians -> splat -> SR (models.py:64-95)."""
         if self._gs_params is None:
             self._build_gs_params()
-        return self._frame_fn(self._gs_params, batch["t_points"],
-                              batch["t_transform"], self.params["upsampler"])
+        fn = self._frame_fns.get(self._budget)
+        if fn is None:  # budget is a trace-time constant: one jit per bucket
+            fn = self._frame_fns[self._budget] = jax.jit(self._frame_step)
+        return fn(self._gs_params, batch["t_points"],
+                  batch["t_transform"], self.params["upsampler"])
 
     # ------------------------------------------------------------- per chunk
 
@@ -353,7 +400,7 @@ class GAGAvatar:
                 gs_params["scales"][0], gs_params["rotations"][0], cam,
                 focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
                 interpret=self.interpret,
-                max_instances=_instance_budget(xyz.shape[0]),
+                max_instances=self._active_budget(xyz.shape[0]),
                 bf16_colors=self.bf16_colors)
             sr = self.upsampler(
                 upsampler_params, render[None],
@@ -369,9 +416,12 @@ class GAGAvatar:
         return frames, carry_out
 
     def _get_chunk_fn(self, flame_model, colorspace: str):
-        # keyed cache: alternating colorspace / flame model must not discard
-        # compiled executables (each TPU recompile is minutes over a tunnel)
-        key = (id(flame_model), colorspace)
+        # keyed cache: alternating colorspace / flame model / instance budget
+        # must not discard compiled executables (each TPU recompile is
+        # minutes over a tunnel); the budget is a trace-time constant, so it
+        # MUST be part of the key or a budget change would silently reuse a
+        # wrong-shaped executable
+        key = (id(flame_model), colorspace, self._budget)
         fn = self._chunk_fns.get(key)
         if fn is None:
             step = functools.partial(self._chunk_step, flame_model, colorspace)

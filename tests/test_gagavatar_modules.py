@@ -301,3 +301,22 @@ def test_style_unet_nhwc_layout_equivalence(rng):
     b = np.asarray(nhwc(params, x))
     assert b.shape == a.shape == (2, 3, 64, 64)
     np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_select_budget_buckets(monkeypatch):
+    from artalk_tpu.models.gagavatar.avatar import (
+        BUDGET_BUCKETS, _select_budget)
+
+    n = 100_000
+    monkeypatch.delenv("ARTALK_GSPLAT_MAX_INSTANCES", raising=False)
+    # 1.7/gaussian (the measured trained-avatar workload) -> 3/g bucket
+    assert _select_budget(170_000, n) == 3 * n
+    # small scene -> smallest bucket
+    assert _select_budget(50_000, n) == 2 * n
+    # saturating scene (synthetic avatars) -> capped at the largest bucket
+    assert _select_budget(900_000, n) == BUDGET_BUCKETS[-1] * n
+    # env override wins; 0 = exact/unbudgeted
+    monkeypatch.setenv("ARTALK_GSPLAT_MAX_INSTANCES", "123456")
+    assert _select_budget(170_000, n) == 123456
+    monkeypatch.setenv("ARTALK_GSPLAT_MAX_INSTANCES", "0")
+    assert _select_budget(170_000, n) is None
