@@ -32,6 +32,16 @@ VERT_COLOR = (142 / 255.0, 179 / 255.0, 247 / 255.0)  # renderer_utils.py:67
 FOCAL = 12.0           # renderer_utils.py:64
 
 
+def _morton2(v: np.ndarray) -> np.ndarray:
+    """Interleave the low 10 bits of ``v`` with zeros (Morton/Z-order)."""
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
 class MeshRenderer:
     """Batched mesh renderer with the reference's fixed-camera setup."""
 
@@ -43,11 +53,18 @@ class MeshRenderer:
         self.scale = scale
         faces = np.asarray(faces, np.int32)
         if template_verts is not None:
-            # spatial face ordering (by template centroid y) makes the Pallas
-            # rasterizer's chunk-bbox culling effective -- ~10x fewer
-            # tile-chunk visits than arbitrary (e.g. ConvexHull) ordering
-            cy = np.asarray(template_verts)[faces].mean(axis=1)[:, 1]
-            faces = faces[np.argsort(cy)]
+            # 2D spatial face ordering (Morton code on template centroid
+            # x, y) makes the Pallas rasterizer's chunk-bbox culling
+            # effective: chunks become compact in BOTH axes, so each image
+            # tile overlaps fewer chunks. Measured on the bench head at
+            # 512^2 / TILE_H=8: 2 988 tile-chunk visits with a y-only sort
+            # -> 1 935 with Morton (vs ~30k unordered).
+            cxy = np.asarray(template_verts)[faces].mean(axis=1)
+            gx = ((cxy[:, 0] - cxy[:, 0].min())
+                  / (np.ptp(cxy[:, 0]) + 1e-9) * 1023).astype(np.int64)
+            gy = ((cxy[:, 1] - cxy[:, 1].min())
+                  / (np.ptp(cxy[:, 1]) + 1e-9) * 1023).astype(np.int64)
+            faces = faces[np.argsort(_morton2(gx) | (_morton2(gy) << 1))]
         self.faces = jnp.asarray(faces)
         self.interpret = interpret
         self._render_batch = jax.jit(self._render_batch_impl)

@@ -18,6 +18,15 @@ Design (no atomics, no gathers in the hot loop -- VPU-friendly dense math):
    the kernel.
 
 The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
+
+Tile-size choice (512^2 bench head, Morton-ordered faces, measured on v5e):
+frame time decomposes as ~0.69 us per (tile, chunk) bbox-overlap visit plus
+~12.5 us fixed per tile (scratch init, scalar chunk loop, cross-lane
+min/argmin epilogue). Growing TILE_H trades visit count against per-visit
+work almost 1:1 but divides the fixed term: TILE_H 8 -> 32 measured
+4.54 -> 3.00 ms/frame (TILE_H=16: 3.59). TILE_H=64 would raise total visit
+work (~350 visits x 8 rows > 565 x 4) for a negligible fixed saving, and
+doubles the 2 MB scratch again -- 32 is the knee.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8         # pixel tile rows (sublane-aligned)
+TILE_H = 32        # pixel tile rows (sublane-aligned; see below)
 TILE_W = 128       # pixel tile cols (lane-aligned)
 FACE_CHUNK = 128   # faces processed per inner step
 BIG = 3.4e38  # plain float: jnp constants cannot be captured inside pallas kernels
