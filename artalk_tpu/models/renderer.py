@@ -168,7 +168,16 @@ class MeshRenderer:
         return self._shade_points(pos, nrm, fid)
 
     def _render_batch_impl(self, verts: jnp.ndarray) -> jnp.ndarray:
-        return jax.vmap(self._render_one)(verts)
+        # lax.scan, NOT vmap: the per-pixel shading gather reads a per-frame
+        # (F, 27) attribute table. Scanned frames gather from a 1 MB table
+        # that stays on-chip (0.77 ms/frame measured on v5e); a vmapped
+        # batched gather reads one (B, F, 27) HBM-resident table with frame-
+        # crossing random access and costs 3.1 ms/frame. Same math, ~4x.
+        def step(carry, v):
+            return carry, self._render_one(v)
+
+        _, imgs = jax.lax.scan(step, 0.0, verts)
+        return imgs
 
     def __call__(self, verts: jnp.ndarray) -> jnp.ndarray:
         """(B, V, 3) world-space verts -> (B, H, W, 3) float RGB in [0, 1]."""
