@@ -141,6 +141,10 @@ class StreamPool:
     def active_sessions(self):
         return sorted(self._active)
 
+    @property
+    def free_slots(self) -> int:
+        return len(self._free)
+
     # ------------------------------------------------------------------ tick
 
     def step(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
