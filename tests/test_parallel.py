@@ -148,3 +148,30 @@ def test_batched_clip_decode_dp():
         motions = jax.device_get(generate(params, chunks, style))
     assert motions.shape == (4, 2 * cfg.vae.window, cfg.vae.motion_dim)
     assert np.isfinite(motions).all()
+
+
+def test_render_frames_dp_matches_single_device():
+    """Frame-parallel mesh rendering over dp == unsharded renderer output
+    (embarrassingly parallel: no collectives, bit-identical math), including
+    the ragged-tail pad/trim path."""
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.models.renderer import MeshRenderer
+    from artalk_tpu.parallel.render import render_frames_dp
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=1.0)
+    renderer = MeshRenderer(image_size=128, faces=flame_data["faces"],
+                            scale=1.0, interpret=True,
+                            template_verts=flame_data["v_template"])
+    rng = np.random.default_rng(0)
+    frames = 5  # ragged vs the 4-device dp axis -> exercises pad/trim
+    motions = jnp.asarray(rng.normal(0, 0.3, (frames, 106)).astype(np.float32))
+    verts = flame.motion_to_verts(jnp.zeros((frames, 300)), motions,
+                                  with_global=True)
+
+    want = np.asarray(renderer(verts))
+    mesh = make_mesh(dp=4, tp=1)
+    got = np.asarray(render_frames_dp(renderer, verts, mesh))
+    assert got.shape == want.shape == (frames, 128, 128, 3)
+    np.testing.assert_array_equal(got, want)
