@@ -167,6 +167,7 @@ def motion_to_vertices(flame, motion: np.ndarray,
                        with_global: bool = False) -> np.ndarray:
     """(T, 106) motion -> (T, 5023, 3) FLAME vertices (no global pose by
     default, matching how LVE/FDD are reported -- head pose excluded)."""
+    import jax
     import jax.numpy as jnp
 
     motion = np.asarray(motion, np.float32)
@@ -176,9 +177,11 @@ def motion_to_vertices(flame, motion: np.ndarray,
     else:
         shape = np.broadcast_to(np.asarray(shape, np.float32),
                                 (t, flame.n_shape))
-    return np.asarray(flame.motion_to_verts(jnp.asarray(shape),
-                                            jnp.asarray(motion),
-                                            with_global=with_global))
+    # jitted: un-jitted op-by-op dispatch on the remote-TPU backend compiles
+    # every primitive separately (minutes instead of one executable)
+    fn = jax.jit(flame.motion_to_verts, static_argnames="with_global")
+    return np.asarray(fn(jnp.asarray(shape), jnp.asarray(motion),
+                         with_global=with_global))
 
 
 def evaluate_motion(pred_motion: np.ndarray, gt_motion: np.ndarray, flame,

@@ -9,7 +9,10 @@
 
 `--data` is a directory of .npz clips ({'audio': (S,), 'motion': (T, 106)});
 `--synthetic` trains on generated clips (smoke test). Checkpoints are written
-as flat-npz archives compatible with the inference engine.
+as flat-npz archives compatible with the inference engine. `--eval` (AR
+stage) closes the loop after training: clip 0 is decoded free-running with
+the trained weights and scored with evaluation.py (LVE/FDD/beat-align at the
+106-d FLAME layout; motion-space L2 otherwise).
 """
 
 from __future__ import annotations
@@ -49,6 +52,9 @@ def main(argv=None):
                    help="join a multi-process job (jax.distributed.initialize; "
                         "topology from TPU metadata or JAX_* env vars) before "
                         "building the pod-wide mesh")
+    p.add_argument("--eval", action="store_true",
+                   help="after AR training: free-running decode of clip 0 "
+                        "scored with evaluation.py metrics (LVE/FDD/BA)")
     args = p.parse_args(argv)
 
     if args.multihost:
@@ -99,6 +105,56 @@ def main(argv=None):
 
         save_params(jax.device_get(state.params), args.out)
         print(f"[train] saved {args.out}")
+
+    if args.eval and args.stage == "ar":
+        _eval_decode(model, jax.device_get(state.params), ds, cfg)
+
+
+def _eval_decode(model, params, ds, cfg):
+    """Free-running decode of clip 0 with the trained weights, scored with
+    the evaluation metrics -- ties the teacher-forced loss to the actual
+    inference path (the overfit test pins this formally; here it's a
+    training-run health readout)."""
+    import json
+    import math
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..evaluation import evaluate_motion
+    from ..models.flame import FlameModel
+    from ..utils.assets import load_or_synthesize_flame
+
+    audio, gt = ds.clips[0]
+    # jit every device call: op-by-op dispatch on the TPU backend compiles
+    # each primitive as its own executable (observed: >20 min for what the
+    # jitted path does in seconds)
+    style = jax.jit(model.encode_style)(params, jnp.asarray(gt[:50])[None])
+    state = jax.jit(model.initial_state)(params, style)
+    step = jax.jit(model.window_step)
+    ws = model.window_samples
+    n_windows = max(1, math.ceil(len(gt) / cfg.vae.window))
+    padded = np.zeros(n_windows * ws, np.float32)
+    padded[: len(audio)] = audio[: n_windows * ws]
+    outs = []
+    for k in range(n_windows):
+        state, motion = step(
+            params, state, jnp.asarray(padded[k * ws:(k + 1) * ws])[None],
+            style)
+        outs.append(np.asarray(motion)[0])
+    pred = np.concatenate(outs)[: len(gt)]
+    if cfg.vae.motion_dim == 106:  # FLAME layout -> full geometry metrics
+        flame = FlameModel(load_or_synthesize_flame("assets"),
+                           n_shape=300, n_exp=100, scale=1.0)
+        metrics = evaluate_motion(pred, gt, flame, audio=audio)
+    else:  # non-FLAME motion dim (tiny test configs): motion-space readout
+        from ..evaluation import beat_alignment
+
+        metrics = {"frames": int(len(gt)),
+                   "motion_l2": float(np.linalg.norm(pred - gt, axis=-1).mean()),
+                   "beat_align": beat_alignment(pred, audio)}
+    print(f"[train] eval (clip 0): {json.dumps(metrics)}", flush=True)
+    return metrics
 
 
 if __name__ == "__main__":

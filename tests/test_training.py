@@ -149,3 +149,20 @@ def test_overfit_one_clip_learns_decode_path(data):
     assert decoded.shape == this_bits.shape
     match = float(jnp.mean((decoded == this_bits).astype(jnp.float32)))
     assert match >= 0.95, f"free-running decode reproduces only {match:.3f} of codes"
+
+
+def test_eval_decode_readout():
+    """--eval path: free-running decode of clip 0 + metric readout (tiny
+    config exercises the motion-space fallback branch)."""
+    from artalk_tpu.training.data import MotionAudioDataset, synthetic_clips
+    from artalk_tpu.training.train import _eval_decode
+
+    model = BitwiseARModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    ds = MotionAudioDataset(
+        synthetic_clips(num_clips=1, frames=60, motion_dim=12),
+        window=CFG.vae.window)
+    metrics = _eval_decode(model, params, ds, CFG)
+    assert metrics["frames"] == 60
+    assert np.isfinite(metrics["motion_l2"])
+    assert 0.0 <= metrics["beat_align"] <= 1.0
