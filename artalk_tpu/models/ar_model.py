@@ -192,28 +192,63 @@ class BitwiseARModel:
         v_cache = v_cache.at[:, :, :, : self.prev_len].set(v_prev)
         return k_cache, v_cache
 
-    def _run_level(self, params: nn.Params, tokens: jnp.ndarray, cond: jnp.ndarray,
-                   caches: Tuple[jnp.ndarray, jnp.ndarray], level: int
+    def _fused_decode_consts(self, params: nn.Params, audio_cond: jnp.ndarray):
+        """Hoist every per-block quantity that does not depend on the level's
+        hidden state out of the 5x12 block executions (dispatch-count is the
+        decode bottleneck on TPU — each level re-walks all blocks with 1-100
+        tokens, so small-op overhead dominates over FLOPs):
+
+        - q/k/v weights fused into one (depth, d, 3d) matmul operand (k has
+          no bias in the reference, transformer.py:46-52 — a zero slot keeps
+          the add bit-exact),
+        - AdaLN for ALL blocks and ALL 181 positions as one einsum (sliced
+          per level/block afterwards; row/column-independent, so bit-equal
+          to the per-block linears it replaces),
+        - the exp'd per-head attention scales,
+        - the AdaLN head's scale/shift over all 181 positions.
+        """
+        blocks = params["blocks"]
+        w_qkv = jnp.concatenate(
+            [blocks["q"]["w"], blocks["k"]["w"], blocks["v"]["w"]], axis=-1)
+        b_qkv = jnp.concatenate(
+            [blocks["q"]["b"], jnp.zeros_like(blocks["q"]["b"]),
+             blocks["v"]["b"]], axis=-1)
+        scale_mul = jnp.exp(jnp.minimum(blocks["scale_mul"], math.log(100.0)))
+        silu_cond = nn.silu(audio_cond)
+        ada_full = (jnp.einsum("bpc,dce->dbpe", silu_cond,
+                               blocks["ada_lin"]["w"])
+                    + blocks["ada_lin"]["b"][:, None, None])
+        head = params["head"]
+        head_ss = jnp.split(
+            jnp.einsum("...i,io->...o", silu_cond, head["ada_lin"]["w"])
+            + head["ada_lin"]["b"], 2, axis=-1)
+        return w_qkv, b_qkv, scale_mul, ada_full, head_ss
+
+    def _run_level(self, params: nn.Params, tokens: jnp.ndarray,
+                   ada: jnp.ndarray, caches: Tuple[jnp.ndarray, jnp.ndarray],
+                   level: int, w_qkv: jnp.ndarray, b_qkv: jnp.ndarray,
+                   scale_mul: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Run one scale level's new tokens through all blocks, appending
         their K/V to the caches. Returns (logits-ready features, caches).
 
-        tokens: (B, pn, d) embedded inputs for this level (pos/lvl added),
-        cond:   (B, pn, audio_dim) audio condition at these positions.
+        tokens:    (B, pn, d) embedded inputs for this level (pos/lvl added),
+        ada:       (depth, B, pn, 6d) per-block AdaLN params at these
+                   positions (precomputed by ``_fused_decode_consts``),
+        w_qkv/b_qkv/scale_mul: fused projections + exp'd attention scales.
         """
         start = self.prev_len + self.offsets[level]
         end = start + self.patch_nums[level]
-        max_scale = math.log(100.0)
 
         def block_body(x, inp):
-            block, k_cache, v_cache = inp  # caches: (B, H, cache_len, hd)
-            ada = nn.linear(block["ada_lin"], nn.silu(cond))
-            g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=-1)
+            block, ada_d, w_d, b_d, sm_d, k_cache, v_cache = inp
+            g1, g2, s1, s2, sh1, sh2 = jnp.split(ada_d, 6, axis=-1)
             xm = nn.layer_norm(x, eps=1e-6) * (s1 + 1.0) + sh1
-            q = nn.split_heads(nn.linear(block["q"], xm), self.num_heads)
-            scale_mul = jnp.exp(jnp.minimum(block["scale_mul"], max_scale))
-            q = nn.l2_normalize(q) * scale_mul
-            k_new, v_new = self._block_kv(block, xm)
+            qkv = jnp.einsum("...i,io->...o", xm, w_d) + b_d
+            q, k_new, v_new = (nn.split_heads(t, self.num_heads)
+                               for t in jnp.split(qkv, 3, axis=-1))
+            q = nn.l2_normalize(q) * sm_d
+            k_new = nn.l2_normalize(k_new)
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, start, axis=2)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, start, axis=2)
             # level-causal mask is implicit: attend to [prev prefix | levels <= this]
@@ -223,17 +258,28 @@ class BitwiseARModel:
             x = x + nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], xm2))) * g2
             return x, (k_cache, v_cache)
 
-        feats, caches = jax.lax.scan(block_body, tokens, (params["blocks"],) + caches)
+        feats, caches = jax.lax.scan(
+            block_body, tokens,
+            (params["blocks"], ada, w_qkv, b_qkv, scale_mul) + caches)
         return feats, caches
 
     def _head_bits(self, params: nn.Params, feats: jnp.ndarray,
-                   cond: jnp.ndarray, sample=None) -> jnp.ndarray:
+                   cond, sample=None) -> jnp.ndarray:
         """AdaLN head + per-bit decision (models.py:103-104, 138-148):
         greedy argmax by default, or top-k/top-p sampling when ``sample =
         (key, top_k, top_p)`` (the reference ships the same sampler unused,
-        models.py:151-164)."""
+        models.py:151-164).
+
+        ``cond`` is either the (B, pn, audio_dim) condition tensor, or a
+        precomputed ``(scale, shift)`` tuple from ``_fused_decode_consts``
+        (row-independent linear, so slicing the full-window product is
+        bit-equal to projecting the slice)."""
         head = params["head"]
-        scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(cond)), 2, axis=-1)
+        if isinstance(cond, tuple):
+            scale, shift = cond
+        else:
+            scale, shift = jnp.split(
+                nn.linear(head["ada_lin"], nn.silu(cond)), 2, axis=-1)
         feats = nn.layer_norm(feats, eps=1e-6) * (scale + 1.0) + shift
         logits = nn.linear(head["out"], feats).astype(jnp.float32)
         b, l, _ = logits.shape
@@ -280,6 +326,8 @@ class BitwiseARModel:
         window = self.patch_nums[-1]
         code_dim = self.cfg.vae.code_dim
         b = audio_cond.shape[0]
+        w_qkv, b_qkv, scale_mul, ada_full, (h_scale, h_shift) = \
+            self._fused_decode_consts(params, audio_cond)
 
         f_hat = jnp.zeros((b, window, code_dim), jnp.float32)
         tokens = jnp.broadcast_to(style_cond + lvl_pos[:, :1],
@@ -287,10 +335,12 @@ class BitwiseARModel:
         all_bits = []
         for level, pn in enumerate(self.patch_nums):
             off = self.offsets[level]
-            cond = audio_cond[:, off : off + pn]
-            feats, caches = self._run_level(params, tokens, cond, caches, level)
+            feats, caches = self._run_level(
+                params, tokens, ada_full[:, :, off : off + pn], caches, level,
+                w_qkv, b_qkv, scale_mul)
             bits = self._head_bits(
-                params, feats, cond,
+                params, feats,
+                (h_scale[:, off : off + pn], h_shift[:, off : off + pn]),
                 None if sample is None else (level_keys[level], top_k, top_p))
             all_bits.append(bits)
             if level < len(self.patch_nums) - 1:
@@ -336,18 +386,31 @@ class BitwiseARModel:
         bias = self.var_attn_bias()
         prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
         x = tokens + self.lvl_pos_embed(params)
-        max_scale = math.log(100.0)
 
-        def block_core(h, block, drop):
-            ada = nn.linear(block["ada_lin"], nn.silu(audio_cond))
+        # Hoist block-state-independent work out of the 12-block scan (same
+        # rationale as _fused_decode_consts; q stays separate here because it
+        # projects hm while k/v project [prev_feat | hm]).
+        blocks = params["blocks"]
+        w_kv = jnp.concatenate([blocks["k"]["w"], blocks["v"]["w"]], axis=-1)
+        b_kv = jnp.concatenate(
+            [jnp.zeros_like(blocks["v"]["b"]), blocks["v"]["b"]], axis=-1)
+        scale_mul_all = jnp.exp(jnp.minimum(blocks["scale_mul"],
+                                            math.log(100.0)))
+        silu_cond = nn.silu(audio_cond)
+        ada_full = (jnp.einsum("bpc,dce->dbpe", silu_cond,
+                               blocks["ada_lin"]["w"])
+                    + blocks["ada_lin"]["b"][:, None, None])
+
+        def block_core(h, block, ada, w_kv_d, b_kv_d, sm_d, drop):
             g1, g2, s1, s2, sh1, sh2 = jnp.split(ada, 6, axis=-1)
             hm = nn.layer_norm(h, eps=1e-6) * (s1 + 1.0) + sh1
             q = nn.split_heads(nn.linear(block["q"], hm), self.num_heads)
-            scale_mul = jnp.exp(jnp.minimum(block["scale_mul"], max_scale))
-            q = nn.l2_normalize(q) * scale_mul
+            q = nn.l2_normalize(q) * sm_d
             kv_in = jnp.concatenate([prev_feat, hm], axis=1)
-            k = nn.l2_normalize(nn.split_heads(nn.linear(block["k"], kv_in), self.num_heads))
-            v = nn.split_heads(nn.linear(block["v"], kv_in), self.num_heads)
+            kv = jnp.einsum("...i,io->...o", kv_in, w_kv_d) + b_kv_d
+            k, v = (nn.split_heads(t, self.num_heads)
+                    for t in jnp.split(kv, 2, axis=-1))
+            k = nn.l2_normalize(k)
             attn = nn.sdpa(q, k, v, scale=1.0, bias=bias)
             h = h + drop(0, nn.linear(block["proj"], nn.merge_heads(attn)) * g1)
             hm2 = nn.layer_norm(h, eps=1e-6) * (s2 + 1.0) + sh2
@@ -355,17 +418,21 @@ class BitwiseARModel:
             return h
 
         if drop_path_rng is None:
-            def block_body(h, block):
-                return block_core(h, block, lambda _i, branch: branch), None
+            def block_body(h, inp):
+                block, ada, w_kv_d, b_kv_d, sm_d = inp
+                return block_core(h, block, ada, w_kv_d, b_kv_d, sm_d,
+                                  lambda _i, branch: branch), None
 
-            x, _ = jax.lax.scan(block_body, x, params["blocks"])
+            x, _ = jax.lax.scan(block_body, x,
+                                (params["blocks"], ada_full, w_kv, b_kv,
+                                 scale_mul_all))
         else:
             keys = jax.random.split(drop_path_rng, self.depth * 2)
             # works for both typed keys (n,) and legacy uint32 keys (n, 2)
             branch_keys = keys.reshape((self.depth, 2) + keys.shape[1:])
 
             def block_body(h, inp):
-                block, rate, keys2 = inp
+                block, ada, w_kv_d, b_kv_d, sm_d, rate, keys2 = inp
 
                 def drop(i, branch):
                     keep = 1.0 - rate
@@ -373,13 +440,17 @@ class BitwiseARModel:
                                                 (branch.shape[0], 1, 1))
                     return branch * mask.astype(branch.dtype) / keep
 
-                return block_core(h, block, drop), None
+                return block_core(h, block, ada, w_kv_d, b_kv_d, sm_d,
+                                  drop), None
 
             x, _ = jax.lax.scan(
                 block_body, x,
-                (params["blocks"], self.drop_path_rates(), branch_keys))
+                (params["blocks"], ada_full, w_kv, b_kv, scale_mul_all,
+                 self.drop_path_rates(), branch_keys))
         head = params["head"]
-        scale, shift = jnp.split(nn.linear(head["ada_lin"], nn.silu(audio_cond)), 2, axis=-1)
+        scale, shift = jnp.split(
+            jnp.einsum("...i,io->...o", silu_cond, head["ada_lin"]["w"])
+            + head["ada_lin"]["b"], 2, axis=-1)
         x = nn.layer_norm(x, eps=1e-6) * (scale + 1.0) + shift
         logits = nn.linear(head["out"], x).astype(jnp.float32)
         b, l, _ = logits.shape
