@@ -219,11 +219,19 @@ class MimiEncoder:
         causal = (j <= i) & (i - j < cfg.sliding_window)
         bias = jnp.asarray(np.where(causal, 0.0, -np.inf).astype(np.float32))[None, None]
 
-        def body(h, p):
+        # One fused (d, 3d) qkv matmul per layer (bias-free projections over
+        # the same operand — column-independent, numerically identical; cuts
+        # per-layer op count in the scan).
+        layers = params["transformer"]
+        w_qkv = jnp.concatenate(
+            [layers["q"]["w"], layers["k"]["w"], layers["v"]["w"]], axis=-1)
+
+        def body(h, inp):
+            p, w_qkv_l = inp
             y = nn.layer_norm_apply(p["norm1"], h, eps=cfg.norm_eps)
-            q = nn.split_heads(nn.linear(p["q"], y), cfg.num_heads)
-            k = nn.split_heads(nn.linear(p["k"], y), cfg.num_heads)
-            v = nn.split_heads(nn.linear(p["v"], y), cfg.num_heads)
+            qkv = jnp.einsum("...i,io->...o", y, w_qkv_l)
+            q, k, v = (nn.split_heads(t, cfg.num_heads)
+                       for t in jnp.split(qkv, 3, axis=-1))
             q = _rope(q, cfg.rope_theta)
             k = _rope(k, cfg.rope_theta)
             attn = nn.merge_heads(
@@ -233,7 +241,7 @@ class MimiEncoder:
             h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y))) * p["ls_mlp"]
             return h, None
 
-        x, _ = jax.lax.scan(body, x, params["transformer"])
+        x, _ = jax.lax.scan(body, x, (layers, w_qkv))
         return x
 
     # ----------------------------------------------------------------- quant

@@ -168,10 +168,21 @@ class Wav2VecEncoder:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
         num_heads = cfg.num_attention_heads
 
-        def attend(y, p):
-            q = nn.split_heads(nn.linear(p["q"], y), num_heads)
-            k = nn.split_heads(nn.linear(p["k"], y), num_heads)
-            v = nn.split_heads(nn.linear(p["v"], y), num_heads)
+        # Fuse the three (d, d) q/k/v projections into one (d, 3d) matmul per
+        # layer: each output column is an independent dot product over the
+        # same contraction dim, so the fusion is numerically identical while
+        # cutting the op count of the 24-layer scan (the encoder is latency-
+        # bound on small-op overhead at 199 tokens, not FLOPs).
+        layers = params["encoder"]["layers"]
+        w_qkv = jnp.concatenate(
+            [layers["q"]["w"], layers["k"]["w"], layers["v"]["w"]], axis=-1)
+        b_qkv = jnp.concatenate(
+            [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"]], axis=-1)
+
+        def attend(y, p, w_qkv_l, b_qkv_l):
+            qkv = jnp.einsum("...i,io->...o", y, w_qkv_l) + b_qkv_l
+            q, k, v = (nn.split_heads(t, num_heads)
+                       for t in jnp.split(qkv, 3, axis=-1))
             if cfg.use_flash_attention:
                 from ..ops.attention import flash_attention
 
@@ -181,18 +192,21 @@ class Wav2VecEncoder:
                 attn = nn.merge_heads(nn.sdpa(q, k, v, scale=q.shape[-1] ** -0.5))
             return nn.linear(p["out"], attn)
 
-        def layer_body(h, p):
+        def layer_body(h, inp):
+            p, w_qkv_l, b_qkv_l = inp
             if cfg.do_stable_layer_norm:
-                h = h + attend(nn.layer_norm_apply(p["norm1"], h, eps=eps), p)
+                h = h + attend(nn.layer_norm_apply(p["norm1"], h, eps=eps), p,
+                               w_qkv_l, b_qkv_l)
                 y = nn.layer_norm_apply(p["norm2"], h, eps=eps)
                 h = h + nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], y)))
             else:
-                h = nn.layer_norm_apply(p["norm1"], h + attend(h, p), eps=eps)
+                h = nn.layer_norm_apply(
+                    p["norm1"], h + attend(h, p, w_qkv_l, b_qkv_l), eps=eps)
                 ff = nn.linear(p["fc2"], nn.gelu_erf(nn.linear(p["fc1"], h)))
                 h = nn.layer_norm_apply(p["norm2"], h + ff, eps=eps)
             return h, None
 
-        x, _ = jax.lax.scan(layer_body, x, params["encoder"]["layers"])
+        x, _ = jax.lax.scan(layer_body, x, (layers, w_qkv, b_qkv))
         if cfg.do_stable_layer_norm:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
         return x
