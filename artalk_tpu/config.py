@@ -163,6 +163,13 @@ class ModelConfig:
     # run the wav2vec2 encoder in bfloat16 (MXU-native; ~2x faster audio
     # conditioning). Off by default: f32 keeps code bits reference-exact.
     bf16_audio: bool = False
+    # run the AR transformer blocks in bfloat16 during window decode. The
+    # decode re-reads every block weight once per scale level (5x per
+    # window), so halving weight bytes cuts the HBM traffic that bounds the
+    # latency-dominated small-matmul chain. Norms/softmax stay f32 (the nn
+    # helpers upcast internally); logits and the bit head stay f32. Off by
+    # default: f32 keeps code bits reference-exact.
+    bf16_ar: bool = False
 
     def __post_init__(self):
         if self.mimi is None:

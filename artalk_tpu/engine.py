@@ -17,6 +17,7 @@ TPU execution model:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 import os
@@ -37,6 +38,23 @@ from .utils.metrics import GLOBAL_METRICS
 from .utils.video import write_video
 
 
+def _resolve_ar_precision(config: ModelConfig) -> ModelConfig:
+    """Apply the ARTALK_AR_PRECISION env knob ("exact" default / "fast").
+
+    "fast" opts the motion path into bfloat16 (audio encoder + AR blocks,
+    config.bf16_audio/bf16_ar). Default stays "exact": unlike the GAGA frame
+    (where the 8-bit video floor hides bf16 rounding) the AR decode emits
+    discrete code bits, so fast mode CHANGES outputs.
+    """
+    ar_prec = os.environ.get("ARTALK_AR_PRECISION", "exact")
+    if ar_prec not in ("exact", "fast"):
+        raise ValueError(
+            f"ARTALK_AR_PRECISION={ar_prec!r}: expected 'exact' or 'fast'")
+    if ar_prec == "fast":
+        config = dataclasses.replace(config, bf16_audio=True, bf16_ar=True)
+    return config
+
+
 class ARTAvatarInferEngine:
     def __init__(self, load_gaga: bool = False, fix_pose: bool = False,
                  clip_length: int = 750, assets_dir: str = "assets",
@@ -51,6 +69,7 @@ class ARTAvatarInferEngine:
         if config is None:
             cfg_path = os.path.join(assets_dir, "config.json")
             config = load_config(cfg_path) if os.path.exists(cfg_path) else ModelConfig()
+        config = _resolve_ar_precision(config)
         self.cfg = config
         self.model = BitwiseARModel(config)
 

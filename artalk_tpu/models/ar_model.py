@@ -179,15 +179,21 @@ class BitwiseARModel:
         v = nn.split_heads(nn.linear(block["v"], x), self.num_heads)
         return nn.l2_normalize(k), v
 
-    def init_cache(self, params: nn.Params, prev_feat: jnp.ndarray
+    def init_cache(self, params: nn.Params, prev_feat: jnp.ndarray,
+                   blocks: Optional[nn.Params] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-block K/V caches (depth, B, H, cache_len, hd) with the
-        previous-window prefix filled in positions [0, prev_len)."""
+        previous-window prefix filled in positions [0, prev_len).
+
+        ``blocks`` overrides ``params["blocks"]`` (the bf16_ar decode path
+        passes pre-cast weights; cache dtype follows ``prev_feat``)."""
+        if blocks is None:
+            blocks = params["blocks"]
         b = prev_feat.shape[0]
         shape = (self.depth, b, self.num_heads, self.cache_len, self.head_dim)
         k_cache = jnp.zeros(shape, prev_feat.dtype)
         v_cache = jnp.zeros(shape, prev_feat.dtype)
-        k_prev, v_prev = jax.vmap(self._block_kv, in_axes=(0, None))(params["blocks"], prev_feat)
+        k_prev, v_prev = jax.vmap(self._block_kv, in_axes=(0, None))(blocks, prev_feat)
         k_cache = k_cache.at[:, :, :, : self.prev_len].set(k_prev)
         v_cache = v_cache.at[:, :, :, : self.prev_len].set(v_prev)
         return k_cache, v_cache
@@ -224,7 +230,7 @@ class BitwiseARModel:
             + head["ada_lin"]["b"], 2, axis=-1)
         return w_qkv, b_qkv, scale_mul, ada_full, head_ss
 
-    def _run_level(self, params: nn.Params, tokens: jnp.ndarray,
+    def _run_level(self, blocks: nn.Params, tokens: jnp.ndarray,
                    ada: jnp.ndarray, caches: Tuple[jnp.ndarray, jnp.ndarray],
                    level: int, w_qkv: jnp.ndarray, b_qkv: jnp.ndarray,
                    scale_mul: jnp.ndarray
@@ -232,6 +238,8 @@ class BitwiseARModel:
         """Run one scale level's new tokens through all blocks, appending
         their K/V to the caches. Returns (logits-ready features, caches).
 
+        blocks:    stacked per-block params (possibly bf16-cast by the
+                   bf16_ar decode path),
         tokens:    (B, pn, d) embedded inputs for this level (pos/lvl added),
         ada:       (depth, B, pn, 6d) per-block AdaLN params at these
                    positions (precomputed by ``_fused_decode_consts``),
@@ -260,7 +268,7 @@ class BitwiseARModel:
 
         feats, caches = jax.lax.scan(
             block_body, tokens,
-            (params["blocks"], ada, w_qkv, b_qkv, scale_mul) + caches)
+            (blocks, ada, w_qkv, b_qkv, scale_mul) + caches)
         return feats, caches
 
     def _head_bits(self, params: nn.Params, feats: jnp.ndarray,
@@ -322,12 +330,27 @@ class BitwiseARModel:
             level_keys = jax.random.split(s_key, len(self.patch_nums))
         lvl_pos = self.lvl_pos_embed(params)
         prev_feat = prev_attn_feat + self.prev_lvl_pos_embed(params)
-        caches = self.init_cache(params, prev_feat)
         window = self.patch_nums[-1]
         code_dim = self.cfg.vae.code_dim
         b = audio_cond.shape[0]
         w_qkv, b_qkv, scale_mul, ada_full, (h_scale, h_shift) = \
             self._fused_decode_consts(params, audio_cond)
+
+        blocks = params["blocks"]
+        compute_dtype = jnp.float32
+        if self.cfg.bf16_ar:
+            # Fast mode: bf16 block weights + activations (casts fold into
+            # constants under jit). The head consts/logits and the inter-
+            # level f_hat/bit arithmetic stay f32; LN/softmax upcast inside
+            # the nn helpers. Changes code bits vs f32 -- opt-in only.
+            compute_dtype = jnp.bfloat16
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+            blocks, w_qkv, b_qkv, scale_mul, ada_full = (
+                cast(t) for t in (blocks, w_qkv, b_qkv, scale_mul, ada_full))
+            prev_feat = prev_feat.astype(jnp.bfloat16)
+        caches = self.init_cache(params, prev_feat, blocks=blocks)
 
         f_hat = jnp.zeros((b, window, code_dim), jnp.float32)
         tokens = jnp.broadcast_to(style_cond + lvl_pos[:, :1],
@@ -336,10 +359,11 @@ class BitwiseARModel:
         for level, pn in enumerate(self.patch_nums):
             off = self.offsets[level]
             feats, caches = self._run_level(
-                params, tokens, ada_full[:, :, off : off + pn], caches, level,
+                blocks, tokens.astype(compute_dtype),
+                ada_full[:, :, off : off + pn], caches, level,
                 w_qkv, b_qkv, scale_mul)
             bits = self._head_bits(
-                params, feats,
+                params, feats.astype(jnp.float32),
                 (h_scale[:, off : off + pn], h_shift[:, off : off + pn]),
                 None if sample is None else (level_keys[level], top_k, top_p))
             all_bits.append(bits)

@@ -112,6 +112,45 @@ def test_cached_decode_equals_naive(model_and_params, rng):
     np.testing.assert_array_equal(fast, slow)
 
 
+def test_bf16_ar_decode_runs_and_mostly_agrees(model_and_params, rng):
+    """Opt-in bf16 decode (cfg.bf16_ar): deterministic, same output
+    shape/dtype, and high bit agreement with the exact f32 path (bf16
+    rounding may flip low-margin bit decisions -- that's why it's opt-in)."""
+    import dataclasses
+
+    model, params = model_and_params
+    model16 = BitwiseARModel(dataclasses.replace(CFG, bf16_ar=True))
+    b = 2
+    audio_cond = jnp.asarray(
+        rng.standard_normal((b, model.total_tokens, CFG.ar.audio_feature_dim)).astype(np.float32))
+    style_cond = jnp.asarray(rng.standard_normal((1, 1, CFG.ar.embed_dim)).astype(np.float32))
+    prev_attn_feat = jnp.asarray(
+        rng.standard_normal((b, model.prev_len, CFG.ar.embed_dim)).astype(np.float32))
+
+    exact = np.asarray(model.decode_window(params, audio_cond, style_cond, prev_attn_feat))
+    fast = np.asarray(model16.decode_window(params, audio_cond, style_cond, prev_attn_feat))
+    fast2 = np.asarray(model16.decode_window(params, audio_cond, style_cond, prev_attn_feat))
+    np.testing.assert_array_equal(fast, fast2)
+    assert fast.shape == exact.shape and fast.dtype == exact.dtype
+    agreement = float((fast == exact).mean())
+    assert agreement > 0.8, f"bf16 decode diverged too far: {agreement:.3f}"
+
+
+def test_ar_precision_env_knob(monkeypatch):
+    """ARTALK_AR_PRECISION plumbs to config: fast sets bf16, bad values raise."""
+    from artalk_tpu.engine import _resolve_ar_precision
+
+    monkeypatch.delenv("ARTALK_AR_PRECISION", raising=False)
+    cfg = _resolve_ar_precision(CFG)
+    assert not cfg.bf16_ar and not cfg.bf16_audio
+    monkeypatch.setenv("ARTALK_AR_PRECISION", "fast")
+    cfg = _resolve_ar_precision(CFG)
+    assert cfg.bf16_ar and cfg.bf16_audio
+    monkeypatch.setenv("ARTALK_AR_PRECISION", "turbo")
+    with pytest.raises(ValueError, match="ARTALK_AR_PRECISION"):
+        _resolve_ar_precision(CFG)
+
+
 def test_window_step_shapes_and_scan(model_and_params, rng):
     model, params = model_and_params
     b, n_windows = 1, 3
