@@ -150,6 +150,16 @@ def test_overfit_one_clip_learns_decode_path(data):
     match = float(jnp.mean((decoded == this_bits).astype(jnp.float32)))
     assert match >= 0.95, f"free-running decode reproduces only {match:.3f} of codes"
 
+    # With trained (high-margin) weights the opt-in bf16 decode mode should
+    # agree with exact f32 almost everywhere -- the strong version of the
+    # random-weight agreement bound in test_ar_model.py.
+    import dataclasses
+
+    model16 = BitwiseARModel(dataclasses.replace(CFG, bf16_ar=True))
+    decoded16 = model16.decode_window(p, audio_cond, style_cond, prefix)
+    agree = float(jnp.mean((decoded16 == decoded).astype(jnp.float32)))
+    assert agree >= 0.97, f"bf16 decode agreement on trained weights: {agree:.3f}"
+
 
 def test_eval_decode_readout():
     """--eval path: free-running decode of clip 0 + metric readout (tiny
