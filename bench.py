@@ -24,10 +24,13 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``gaga_trained_ms_per_frame``: the same frame at the 3/gaussian budget
   bucket the per-avatar auto-budgeter selects for trained checkpoints
   (measured ~1.7 valid instances/gaussian).
+- ``motion_fast_frames_per_sec``: the headline path in the opt-in bf16 mode
+  (ARTALK_AR_PRECISION=fast: bf16 audio encoder + bf16 AR blocks; changes
+  code bits, see README).
 
 Set ARTALK_BENCH_SECTIONS=motion (comma list of
-{motion,stream,mesh,gsplat,batched,gaga}) to restrict sections (e.g. to bound
-compile time when iterating).
+{motion,stream,mesh,gsplat,batched,gaga,fast}) to restrict sections (e.g. to
+bound compile time when iterating).
 """
 
 import json
@@ -38,7 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga")
+_KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga",
+                   "fast")
 SECTIONS = {
     s.strip() for s in os.environ.get(
         "ARTALK_BENCH_SECTIONS", ",".join(_KNOWN_SECTIONS)).split(",")
@@ -265,6 +269,16 @@ def main():
         out["gaga_trained_ms_per_frame"] = round(ms_trained, 1)
 
     section("gaga", _gaga)
+
+    def _fast():
+        import dataclasses
+
+        fast_model = BitwiseARModel(
+            dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True))
+        fps, _ = bench_motion(fast_model, params)  # same weights, bf16 trace
+        out["motion_fast_frames_per_sec"] = round(fps, 1)
+
+    section("fast", _fast)
     print(json.dumps(out))
 
 
