@@ -26,6 +26,9 @@ from artalk_tpu.utils.timing import timed
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--precision", choices=("exact", "fast"), default="exact",
+                    help="fast = bf16 audio encoder + bf16 AR blocks "
+                         "(the ARTALK_AR_PRECISION=fast engine mode)")
     args = ap.parse_args()
     it = args.iters
 
@@ -37,6 +40,10 @@ def main():
     from artalk_tpu.utils.assets import load_or_synthesize_flame
 
     cfg = ModelConfig()
+    if args.precision == "fast":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True)
     model = BitwiseARModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
