@@ -223,6 +223,9 @@ def _demo(argv=None):
 
     cfg_path = os.path.join(args.assets, "config.json")
     cfg = load_config(cfg_path) if os.path.exists(cfg_path) else ModelConfig()
+    from .engine import _resolve_ar_precision  # ARTALK_AR_PRECISION knob
+
+    cfg = _resolve_ar_precision(cfg)
     model = BitwiseARModel(cfg)
     ckpt = os.path.join(args.assets, "artalk_params.npz")
     if os.path.exists(ckpt):
