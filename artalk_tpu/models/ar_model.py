@@ -266,9 +266,13 @@ class BitwiseARModel:
             x = x + nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], xm2))) * g2
             return x, (k_cache, v_cache)
 
+        # Only the leaves block_body actually reads ride the scan — the
+        # q/k/v/ada_lin weights live in the hoisted fused consts, and keeping
+        # them out of the xs makes sure no dead per-block DMA survives DCE.
+        hot = {k: blocks[k] for k in ("proj", "fc1", "fc2")}
         feats, caches = jax.lax.scan(
             block_body, tokens,
-            (blocks, ada, w_qkv, b_qkv, scale_mul) + caches)
+            (hot, ada, w_qkv, b_qkv, scale_mul) + caches)
         return feats, caches
 
     def _head_bits(self, params: nn.Params, feats: jnp.ndarray,
@@ -441,6 +445,9 @@ class BitwiseARModel:
             h = h + drop(1, nn.linear(block["fc2"], nn.gelu_tanh(nn.linear(block["fc1"], hm2))) * g2)
             return h
 
+        # as in _run_level: only the leaves block_core reads ride the scan
+        hot = {k: blocks[k] for k in ("q", "proj", "fc1", "fc2")}
+
         if drop_path_rng is None:
             def block_body(h, inp):
                 block, ada, w_kv_d, b_kv_d, sm_d = inp
@@ -448,7 +455,7 @@ class BitwiseARModel:
                                   lambda _i, branch: branch), None
 
             x, _ = jax.lax.scan(block_body, x,
-                                (params["blocks"], ada_full, w_kv, b_kv,
+                                (hot, ada_full, w_kv, b_kv,
                                  scale_mul_all))
         else:
             keys = jax.random.split(drop_path_rng, self.depth * 2)
@@ -469,7 +476,7 @@ class BitwiseARModel:
 
             x, _ = jax.lax.scan(
                 block_body, x,
-                (params["blocks"], ada_full, w_kv, b_kv, scale_mul_all,
+                (hot, ada_full, w_kv, b_kv, scale_mul_all,
                  self.drop_path_rates(), branch_keys))
         head = params["head"]
         scale, shift = jnp.split(
