@@ -170,6 +170,13 @@ class ModelConfig:
     # helpers upcast internally); logits and the bit head stay f32. Off by
     # default: f32 keeps code bits reference-exact.
     bf16_ar: bool = False
+    # decode the AR block walk with the fused weight-streaming Pallas kernel
+    # (ops/ar_block_stack.py): one pallas_call per scale level instead of a
+    # 12-block XLA scan -- weights stream HBM->VMEM double-buffered while
+    # activations stay VMEM-resident. Opt-in (ARTALK_AR_FUSED=1): results
+    # are parity-tested to atol against the XLA path but not bit-pinned
+    # (the fc2 contraction is tiled). Pairs best with bf16_ar.
+    fused_ar: bool = False
 
     def __post_init__(self):
         if self.mimi is None:

@@ -52,6 +52,10 @@ def _resolve_ar_precision(config: ModelConfig) -> ModelConfig:
             f"ARTALK_AR_PRECISION={ar_prec!r}: expected 'exact' or 'fast'")
     if ar_prec == "fast":
         config = dataclasses.replace(config, bf16_audio=True, bf16_ar=True)
+    if os.environ.get("ARTALK_AR_FUSED", "0") not in ("0", ""):
+        # fused weight-streaming Pallas decode (ops/ar_block_stack.py);
+        # orthogonal to the precision knob, pairs best with "fast"
+        config = dataclasses.replace(config, fused_ar=True)
     return config
 
 
@@ -82,6 +86,10 @@ class ARTAvatarInferEngine:
                 print(f"[artalk_tpu] no checkpoint at {ckpt_path}; "
                       "initializing random weights")
                 params = self.model.init(jax.random.PRNGKey(seed))
+        if config.fused_ar and "fused_pack" not in params:
+            # pack the tile-stream weights once (not per jitted window step)
+            params = dict(params,
+                          fused_pack=self.model.pack_fused_decode(params))
         self.params = jax.device_put(params)
 
         flame_data = load_or_synthesize_flame(assets_dir)

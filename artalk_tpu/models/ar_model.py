@@ -198,6 +198,64 @@ class BitwiseARModel:
         v_cache = v_cache.at[:, :, :, : self.prev_len].set(v_prev)
         return k_cache, v_cache
 
+    def init_cache_merged(self, params: nn.Params, prev_feat: jnp.ndarray,
+                          blocks: Optional[nn.Params] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Merged-head K/V caches (depth, B, cache_len, embed) for the fused
+        Pallas decode path (ops/ar_block_stack.py) -- same contents as
+        ``init_cache`` but with heads folded into the feature axis, the
+        layout the kernel's per-head lane slicing wants."""
+        if blocks is None:
+            blocks = params["blocks"]
+        b = prev_feat.shape[0]
+
+        def merge(t):  # (depth, B, H, L, hd) -> (depth, B, L, H*hd)
+            return t.transpose(0, 1, 3, 2, 4).reshape(
+                self.depth, b, -1, self.embed_dim)
+
+        k_prev, v_prev = jax.vmap(self._block_kv, in_axes=(0, None))(blocks,
+                                                                     prev_feat)
+        shape = (self.depth, b, self.cache_len, self.embed_dim)
+        k_cache = jnp.zeros(shape, prev_feat.dtype)
+        v_cache = jnp.zeros(shape, prev_feat.dtype)
+        k_cache = k_cache.at[:, :, : self.prev_len].set(merge(k_prev))
+        v_cache = v_cache.at[:, :, : self.prev_len].set(merge(v_prev))
+        return k_cache, v_cache
+
+    def pack_fused_decode(self, params: nn.Params) -> nn.Params:
+        """Tile-stream weight pack for the fused decode kernel. Engines that
+        decode repeatedly should compute this once and store it under
+        ``params["fused_pack"]``; ``decode_window`` falls back to packing
+        inline (hoisted out of scans by XLA, but re-traced per jit call)."""
+        from ..ops.ar_block_stack import pack_block_weights
+
+        dtype = jnp.bfloat16 if self.cfg.bf16_ar else jnp.float32
+        return pack_block_weights(params["blocks"], self.num_heads,
+                                  dtype=dtype)
+
+    def _run_level_fused(self, pack: nn.Params, tokens: jnp.ndarray,
+                         ada: jnp.ndarray,
+                         caches: Tuple[jnp.ndarray, jnp.ndarray], level: int
+                         ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Fused-kernel counterpart of ``_run_level``: one pallas_call runs
+        the level through all blocks (weights streamed HBM->VMEM, activations
+        VMEM-resident). Opt-in via ``cfg.fused_ar``; parity-tested to atol
+        against ``_run_level``, not bit-pinned."""
+        from ..ops.ar_block_stack import ar_block_stack
+
+        start = self.prev_len + self.offsets[level]
+        pn = self.patch_nums[level]
+        k_cache, v_cache = caches
+        feats, k_new, v_new = ar_block_stack(
+            tokens, ada, pack["wtiles"], pack["biases"], k_cache, v_cache,
+            start=start, num_heads=self.num_heads,
+            interpret=jax.default_backend() != "tpu")
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, start,
+                                                      axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, start,
+                                                      axis=2)
+        return feats, (k_cache, v_cache)
+
     def _fused_decode_consts(self, params: nn.Params, audio_cond: jnp.ndarray):
         """Hoist every per-block quantity that does not depend on the level's
         hidden state out of the 5x12 block executions (dispatch-count is the
@@ -354,7 +412,14 @@ class BitwiseARModel:
             blocks, w_qkv, b_qkv, scale_mul, ada_full = (
                 cast(t) for t in (blocks, w_qkv, b_qkv, scale_mul, ada_full))
             prev_feat = prev_feat.astype(jnp.bfloat16)
-        caches = self.init_cache(params, prev_feat, blocks=blocks)
+        use_fused = self.cfg.fused_ar
+        if use_fused:
+            pack = params.get("fused_pack")
+            if pack is None:
+                pack = self.pack_fused_decode(params)
+            caches = self.init_cache_merged(params, prev_feat, blocks=blocks)
+        else:
+            caches = self.init_cache(params, prev_feat, blocks=blocks)
 
         f_hat = jnp.zeros((b, window, code_dim), jnp.float32)
         tokens = jnp.broadcast_to(style_cond + lvl_pos[:, :1],
@@ -362,10 +427,15 @@ class BitwiseARModel:
         all_bits = []
         for level, pn in enumerate(self.patch_nums):
             off = self.offsets[level]
-            feats, caches = self._run_level(
-                blocks, tokens.astype(compute_dtype),
-                ada_full[:, :, off : off + pn], caches, level,
-                w_qkv, b_qkv, scale_mul)
+            if use_fused:
+                feats, caches = self._run_level_fused(
+                    pack, tokens.astype(compute_dtype),
+                    ada_full[:, :, off : off + pn], caches, level)
+            else:
+                feats, caches = self._run_level(
+                    blocks, tokens.astype(compute_dtype),
+                    ada_full[:, :, off : off + pn], caches, level,
+                    w_qkv, b_qkv, scale_mul)
             bits = self._head_bits(
                 params, feats.astype(jnp.float32),
                 (h_scale[:, off : off + pn], h_shift[:, off : off + pn]),
