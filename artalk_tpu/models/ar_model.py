@@ -412,7 +412,11 @@ class BitwiseARModel:
             blocks, w_qkv, b_qkv, scale_mul, ada_full = (
                 cast(t) for t in (blocks, w_qkv, b_qkv, scale_mul, ada_full))
             prev_feat = prev_feat.astype(jnp.bfloat16)
-        use_fused = self.cfg.fused_ar
+        # The fused kernel keeps B*pn_pad activation rows in VMEM scratch;
+        # beyond ~2 batch rows the 100-token level overruns the ~16MB budget,
+        # so large-batch decodes (the serving StreamPool) silently keep the
+        # XLA scan path.
+        use_fused = self.cfg.fused_ar and b <= 2
         if use_fused:
             pack = params.get("fused_pack")
             if pack is None:

@@ -27,10 +27,15 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``motion_fast_frames_per_sec``: the headline path in the opt-in bf16 mode
   (ARTALK_AR_PRECISION=fast: bf16 audio encoder + bf16 AR blocks; changes
   code bits, see README).
+- ``motion_fused_frames_per_sec``: fast mode + the fused weight-streaming
+  Pallas decode kernel (ARTALK_AR_FUSED=1, ops/ar_block_stack.py) — one
+  pallas_call per scale level instead of the 12-block XLA scan.
+- ``motion_fusedx_frames_per_sec``: the fused kernel at f32 (exact-precision
+  pairing, half-width weight tiles).
 
 Set ARTALK_BENCH_SECTIONS=motion (comma list of
-{motion,stream,mesh,gsplat,batched,gaga,fast}) to restrict sections (e.g. to
-bound compile time when iterating).
+{motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx}) to restrict
+sections (e.g. to bound compile time when iterating).
 """
 
 import json
@@ -42,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga",
-                   "fast")
+                   "fast", "fused", "fusedx")
 SECTIONS = {
     s.strip() for s in os.environ.get(
         "ARTALK_BENCH_SECTIONS", ",".join(_KNOWN_SECTIONS)).split(",")
@@ -279,6 +284,20 @@ def main():
         out["motion_fast_frames_per_sec"] = round(fps, 1)
 
     section("fast", _fast)
+
+    def _fused(key, **overrides):
+        import dataclasses
+
+        fused_model = BitwiseARModel(
+            dataclasses.replace(cfg, fused_ar=True, **overrides))
+        packed = dict(params,
+                      fused_pack=fused_model.pack_fused_decode(params))
+        fps, _ = bench_motion(fused_model, packed)
+        out[key] = round(fps, 1)
+
+    section("fused", lambda: _fused("motion_fused_frames_per_sec",
+                                    bf16_audio=True, bf16_ar=True))
+    section("fusedx", lambda: _fused("motion_fusedx_frames_per_sec"))
     print(json.dumps(out))
 
 

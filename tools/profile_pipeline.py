@@ -26,9 +26,14 @@ from artalk_tpu.utils.timing import timed
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--precision", choices=("exact", "fast"), default="exact",
+    ap.add_argument("--precision",
+                    choices=("exact", "fast", "fused", "fusedx"),
+                    default="exact",
                     help="fast = bf16 audio encoder + bf16 AR blocks "
-                         "(the ARTALK_AR_PRECISION=fast engine mode)")
+                         "(the ARTALK_AR_PRECISION=fast engine mode); "
+                         "fused = fast + the weight-streaming Pallas decode "
+                         "kernel (ARTALK_AR_FUSED=1); fusedx = the fused "
+                         "kernel at f32")
     args = ap.parse_args()
     it = args.iters
 
@@ -39,13 +44,17 @@ def main():
     from artalk_tpu.ops.savgol import smooth_motion_savgol
     from artalk_tpu.utils.assets import load_or_synthesize_flame
 
-    cfg = ModelConfig()
-    if args.precision == "fast":
-        import dataclasses
+    import dataclasses
 
+    cfg = ModelConfig()
+    if args.precision in ("fast", "fused"):
         cfg = dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True)
+    if args.precision in ("fused", "fusedx"):
+        cfg = dataclasses.replace(cfg, fused_ar=True)
     model = BitwiseARModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
+    if cfg.fused_ar:
+        params = dict(params, fused_pack=model.pack_fused_decode(params))
     rng = np.random.default_rng(0)
     n_windows = 8
     chunks = jnp.asarray(rng.standard_normal(
