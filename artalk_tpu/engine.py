@@ -90,6 +90,10 @@ class ARTAvatarInferEngine:
             # pack the tile-stream weights once (not per jitted window step)
             params = dict(params,
                           fused_pack=self.model.pack_fused_decode(params))
+        if config.fused_ar and "fused_audio_pack" not in params:
+            audio_pack = self.model.pack_fused_audio(params)
+            if audio_pack is not None:
+                params = dict(params, fused_audio_pack=audio_pack)
         self.params = jax.device_put(params)
 
         flame_data = load_or_synthesize_flame(assets_dir)

@@ -233,6 +233,18 @@ class BitwiseARModel:
         return pack_block_weights(params["blocks"], self.num_heads,
                                   dtype=dtype)
 
+    def pack_fused_audio(self, params: nn.Params) -> Optional[nn.Params]:
+        """Tile-stream weight pack for the fused audio-encoder kernel
+        (ops/encoder_block_stack.py); None when the configured encoder has
+        no fused path (mimi, or a non-stable-LN wav2vec layout). Engines
+        should store it under ``params["fused_audio_pack"]``."""
+        if (self.cfg.ar.audio_encoder != "wav2vec"
+                or not self.cfg.wav2vec.do_stable_layer_norm):
+            return None
+        dtype = jnp.bfloat16 if self.cfg.bf16_audio else jnp.float32
+        return self.audio_encoder.pack_fused(params["audio_encoder"],
+                                             dtype=dtype)
+
     def _run_level_fused(self, pack: nn.Params, tokens: jnp.ndarray,
                          ada: jnp.ndarray,
                          caches: Tuple[jnp.ndarray, jnp.ndarray], level: int
@@ -375,7 +387,24 @@ class BitwiseARModel:
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, enc_params)
             audio_chunk = audio_chunk.astype(jnp.bfloat16)
-        feat = self.audio_encoder(enc_params, audio_chunk).astype(jnp.float32)
+        # Fused weight-streaming encoder kernel (ops/encoder_block_stack.py)
+        # on the streaming batch-1 wav2vec path: the kernel keeps the whole
+        # (208, d) activation set in VMEM, so larger batches (the offline
+        # batched-windows encode, which already amortizes weight reads)
+        # silently keep the XLA scan.
+        fused_pack = None
+        if (self.cfg.fused_ar and self.cfg.ar.audio_encoder == "wav2vec"
+                and audio_chunk.shape[0] == 1
+                and self.cfg.wav2vec.do_stable_layer_norm):
+            fused_pack = params.get("fused_audio_pack")
+            if fused_pack is None:
+                fused_pack = self.pack_fused_audio(params)
+        if fused_pack is not None:
+            feat = self.audio_encoder(enc_params, audio_chunk,
+                                      fused_pack=fused_pack)
+        else:
+            feat = self.audio_encoder(enc_params, audio_chunk)
+        feat = feat.astype(jnp.float32)
         return jnp.concatenate([resize_area(feat, pn) for pn in self.patch_nums], axis=1)
 
     def decode_window(self, params: nn.Params, audio_cond: jnp.ndarray,

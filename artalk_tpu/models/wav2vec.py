@@ -155,10 +155,23 @@ class Wav2VecEncoder:
             h = h[..., :-1]
         return nn.gelu_erf(h.transpose(0, 2, 1))
 
-    def encode(self, params: nn.Params, features: jnp.ndarray) -> jnp.ndarray:
+    def pack_fused(self, params: nn.Params, dtype=jnp.float32) -> nn.Params:
+        """Tile-stream weight pack for the fused encoder kernel
+        (ops/encoder_block_stack.py). Compute once and pass to ``encode``
+        as ``fused_pack`` (or store under the model's params)."""
+        from ..ops.encoder_block_stack import pack_encoder_weights
+
+        return pack_encoder_weights(params["encoder"]["layers"], dtype=dtype)
+
+    def encode(self, params: nn.Params, features: jnp.ndarray,
+               fused_pack: nn.Params | None = None) -> jnp.ndarray:
         """Feature projection + transformer encoder (pre-LN "stable" layout,
         or the base/HuBERT post-LN layout when ``do_stable_layer_norm`` is
-        False: encoder LN before the stack, LN after each residual)."""
+        False: encoder LN before the stack, LN after each residual).
+
+        ``fused_pack`` (stable layout, batch 1 only) routes the layer stack
+        through the weight-streaming Pallas kernel instead of the XLA scan;
+        parity-tested to atol, not bit-pinned (see ops/encoder_block_stack)."""
         cfg = self.cfg
         eps = cfg.layer_norm_eps
         fp = params["feature_projection"]
@@ -166,6 +179,16 @@ class Wav2VecEncoder:
         x = x + self._pos_conv_embed(params, x)
         if not cfg.do_stable_layer_norm:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
+        if (fused_pack is not None and cfg.do_stable_layer_norm
+                and x.shape[0] == 1):
+            from ..ops.encoder_block_stack import encoder_block_stack
+
+            x = encoder_block_stack(
+                x.astype(jnp.float32), fused_pack["wtiles"],
+                fused_pack["biases"], num_heads=cfg.num_attention_heads,
+                eps=eps, interpret=jax.default_backend() != "tpu")
+            return nn.layer_norm_apply(params["encoder"]["final_norm"], x,
+                                       eps=eps)
         num_heads = cfg.num_attention_heads
 
         # Fuse the three (d, d) q/k/v projections into one (d, 3d) matmul per
@@ -211,11 +234,12 @@ class Wav2VecEncoder:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
         return x
 
-    def __call__(self, params: nn.Params, audio: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, params: nn.Params, audio: jnp.ndarray,
+                 fused_pack: nn.Params | None = None) -> jnp.ndarray:
         """Full reference forward (wav2vec.py:11-20): z-norm -> convs -> encoder."""
         audio = normalize_audio(audio)
         feats = self.extract_features(params, audio)
-        return self.encode(params, feats)
+        return self.encode(params, feats, fused_pack=fused_pack)
 
     def num_output_frames(self, num_samples: int) -> int:
         return self.cfg.num_output_frames(num_samples)

@@ -1,0 +1,251 @@
+"""Weight-streaming fused encoder-stack kernel (Pallas TPU).
+
+Runs one window's audio tokens through ALL wav2vec2 transformer layers in a
+single ``pallas_call``, replacing ``Wav2VecEncoder.encode``'s 24-layer
+``lax.scan`` on the streaming (batch-1) path. Reference semantics: the HF
+stable-layer-norm wav2vec2 encoder layer the reference wraps
+(app/modules/wav2vec.py:11-27; pre-LN attention + pre-LN FFN, erf GELU).
+
+Why: at 199 tokens the 300M-param encoder is HBM-bound, not FLOP-bound --
+each layer multiplies a (199, 1024) activation against ~12.6M params, and
+the XLA scan round-trips every intermediate through HBM while the ~25
+MB/layer (bf16) weight read serializes against compute. Same cure as the AR
+decode kernel (ops/ar_block_stack.py):
+
+- stream layer weights HBM->VMEM as uniform ``(d, TW)`` tiles on a
+  ``(depth, num_tiles)`` grid (Mosaic double-buffers the tile fetches);
+- keep the activation carry and every intermediate in VMEM scratch across
+  all 24 layers -- zero HBM traffic for activations;
+- compute full bidirectional softmax attention in-kernel (no cache, no
+  mask beyond the sequence-length pad).
+
+Every matmul decomposes into the same ``(rows, d) @ (d, TW)`` tile shape:
+q/k/v (d/TW column tiles each), attention output projection, fc1
+(hidden/TW column tiles), fc2 (row chunks, stored transposed).
+
+VMEM: at d=1024 the B=1 working set (~7 (208, 1024) f32 scratch arrays +
+one double-buffered weight tile) is ~11 MB; B=2 overruns the ~16 MB budget,
+so callers gate on batch 1 and keep the XLA scan otherwise (the batched
+offline path amortizes weight reads across windows anyway).
+
+Numerics: accumulation f32 (LN stats, softmax, matmul
+``preferred_element_type``); f32 weights use HIGHEST matmul precision and
+half-width tiles. The fc2 contraction is chunked, so results differ from
+the XLA path at rounding level -- this path is opt-in (``cfg.fused_ar``)
+and parity-tested to atol, not bit-pinned.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _gelu_erf(x):
+    """Exact-GELU via the Abramowitz-Stegun 7.1.26 erf approximation
+    (max |erf err| ~1.5e-7, i.e. ~1e-6 absolute in the GELU at these
+    activation ranges). Mosaic has no erf/erfc lowering, so
+    ``jax.nn.gelu(approximate=False)`` cannot be used in-kernel; tanh-GELU
+    would differ from the XLA erf path by ~1e-3."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x) * (2.0 ** -0.5)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    erf_ax = 1.0 - poly * jnp.exp(-ax * ax)
+    erf = jnp.where(x >= 0, erf_ax, -erf_ax)
+    return 0.5 * x * (1.0 + erf)
+
+
+def _tile_plan(d: int, hidden: int, tw: int):
+    """Static per-grid-step stage plan: list of (kind, chunk_index)."""
+    kw = d // tw
+    plan = []
+    for kind in ("q", "k", "v", "out"):
+        plan += [(kind, j) for j in range(kw)]
+    for c in range(hidden // tw):
+        plan += [("fc1", c), ("fc2", c)]
+    return plan
+
+
+def _bias_rows(f: int):
+    return {"q": 0, "k": 1, "v": 2, "out": 3, "fc1": 4, "fc2": 4 + f,
+            "ln1s": 5 + f, "ln1b": 6 + f, "ln2s": 7 + f, "ln2b": 8 + f}
+
+
+def pack_encoder_weights(layers, dtype=jnp.float32,
+                         tile_width: int | None = None) -> dict:
+    """Pack stacked per-layer params (``params["encoder"]["layers"]`` of
+    Wav2VecEncoder) into the kernel's tile-stream layout.
+
+    Returns ``{"wtiles": (depth, NT, d, TW) dtype, "biases": (depth, NB, d)
+    f32}``. fc2 row chunks are stored transposed so every tile has the same
+    shape; biases also carry the two LayerNorms' scale/bias rows (norms stay
+    f32 regardless of the weight dtype).
+    """
+    wq = layers["q"]["w"]
+    depth, d, _ = wq.shape
+    hidden = layers["fc1"]["w"].shape[2]
+    if tile_width is None:
+        # same rule as the AR pack: f32 full-width tiles overrun the ~16MB
+        # VMEM budget at d=1024, so f32 defaults to half width; bf16 fits.
+        tile_width = d if (dtype == jnp.bfloat16 or d <= 512) else d // 2
+    tw = tile_width
+    if d % tw or hidden % tw:
+        raise ValueError(f"tile_width {tw} must divide d={d} and hidden={hidden}")
+
+    def cols(w):
+        return [w[:, :, j * tw:(j + 1) * tw] for j in range(w.shape[2] // tw)]
+
+    tiles = cols(wq) + cols(layers["k"]["w"]) + cols(layers["v"]["w"]) \
+        + cols(layers["out"]["w"])
+    fc1 = cols(layers["fc1"]["w"])
+    fc2 = [layers["fc2"]["w"][:, c * tw:(c + 1) * tw, :].transpose(0, 2, 1)
+           for c in range(hidden // tw)]
+    for a, b in zip(fc1, fc2):
+        tiles += [a, b]
+    wtiles = jnp.stack(tiles, axis=1).astype(dtype)
+
+    f = hidden // d
+    rows = [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"],
+            layers["out"]["b"]]
+    rows += [layers["fc1"]["b"][:, c * d:(c + 1) * d] for c in range(f)]
+    rows += [layers["fc2"]["b"],
+             layers["norm1"]["scale"], layers["norm1"]["bias"],
+             layers["norm2"]["scale"], layers["norm2"]["bias"]]
+    biases = jnp.stack([r.astype(jnp.float32) for r in rows], axis=1)
+    return {"wtiles": wtiles, "biases": biases}
+
+
+def _kernel(x_ref, w_ref, b_ref, y_ref,
+            x_s, xm_s, q_s, k_s, v_s, at_s, h1_s, ac_s, *,
+            plan, depth: int, d: int, tw: int, num_heads: int, pn: int,
+            pn_pad: int, batch: int, f: int, eps: float, precision):
+    t = pl.program_id(1)
+    rows = batch * pn_pad
+    hd = d // num_heads
+    rowmap = _bias_rows(f)
+    cdt = w_ref.dtype
+    scale = hd ** -0.5
+
+    def mm(a, w, contract_rhs=0):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (contract_rhs,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def ln(x, srow, brow):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return ((x - mean) * jax.lax.rsqrt(var + eps)
+                * b_ref[0, srow] + b_ref[0, brow])
+
+    @pl.when((pl.program_id(0) == 0) & (t == 0))
+    def _init_x():
+        x_s[...] = x_ref[...].reshape(rows, d).astype(jnp.float32)
+
+    def attention():
+        """Full bidirectional softmax attention; pad columns masked."""
+        valid = jax.lax.broadcasted_iota(
+            jnp.int32, (pn_pad, pn_pad), 1) < pn
+        for b in range(batch):
+            rs = slice(b * pn_pad, (b + 1) * pn_pad)
+            for h in range(num_heads):
+                ls = slice(h * hd, (h + 1) * hd)
+                logits = mm(q_s[rs, ls], k_s[rs, ls], contract_rhs=1) * scale
+                logits = jnp.where(valid, logits, NEG_INF)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits - m)
+                z = jnp.sum(p, axis=-1, keepdims=True)
+                at_s[rs, ls] = mm(p, v_s[rs, ls]) / z
+
+    for t_idx, (kind, j) in enumerate(plan):
+        @pl.when(t == t_idx)
+        def _stage(kind=kind, j=j):
+            w = w_ref[0, 0]
+            ls = slice(j * tw, (j + 1) * tw)
+            if kind == "q":
+                if j == 0:
+                    xm_s[...] = ln(x_s[...], rowmap["ln1s"], rowmap["ln1b"])
+                q_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
+            elif kind == "k":
+                k_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["k"], ls]
+            elif kind == "v":
+                v_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
+                if (j + 1) * tw == d:       # last v tile -> attention glue
+                    attention()
+            elif kind == "out":
+                xm_s[:, ls] = mm(at_s[...], w) + b_ref[0, rowmap["out"], ls]
+                if (j + 1) * tw == d:       # last out tile -> residual + LN2
+                    x = x_s[...] + xm_s[...]
+                    x_s[...] = x
+                    xm_s[...] = ln(x, rowmap["ln2s"], rowmap["ln2b"])
+                    ac_s[...] = jnp.zeros_like(ac_s)
+            elif kind == "fc1":
+                brow = rowmap["fc1"] + (j * tw) // d
+                boff = (j * tw) % d
+                h1_s[...] = _gelu_erf(
+                    mm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw])
+            else:                            # fc2 row chunk (stored transposed)
+                ac_s[...] += mm(h1_s[...], w, contract_rhs=1)
+
+    @pl.when(t == len(plan) - 1)
+    def _finish_layer():
+        x_s[...] = x_s[...] + ac_s[...] + b_ref[0, rowmap["fc2"]]
+
+    @pl.when((t == len(plan) - 1) & (pl.program_id(0) == depth - 1))
+    def _emit():
+        y_ref[...] = x_s[...].reshape(batch, pn_pad, d).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret"))
+def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
+                        biases: jnp.ndarray, *, num_heads: int,
+                        eps: float = 1e-5, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """Run (B, T, d) tokens through the whole pre-LN encoder stack.
+
+    Input is the post-(projection + positional-conv) hidden state; the final
+    LayerNorm after the stack stays with the caller. Returns (B, T, d) f32.
+    """
+    depth, nt, d, tw = wtiles.shape
+    b, pn, _ = x.shape
+    f = biases.shape[1] - 9
+    hidden = f * d
+    plan = _tile_plan(d, hidden, tw)
+    assert len(plan) == nt, (len(plan), nt)
+    pn_pad = -(-pn // 16) * 16
+    pad = pn_pad - pn
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    cdt = wtiles.dtype
+    precision = (jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None)
+
+    kernel = functools.partial(
+        _kernel, plan=plan, depth=depth, d=d, tw=tw, num_heads=num_heads,
+        pn=pn, pn_pad=pn_pad, batch=b, f=f, eps=eps, precision=precision)
+    rows = b * pn_pad
+    y = pl.pallas_call(
+        kernel,
+        grid=(depth, nt),
+        in_specs=[
+            pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
+            pl.BlockSpec((1, 1, d, tw), lambda i, t: (i, t, 0, 0)),
+            pl.BlockSpec((1, biases.shape[1], d), lambda i, t: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, pn_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)] * 6
+        + [pltpu.VMEM((rows, tw), jnp.float32),
+           pltpu.VMEM((rows, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, wtiles, biases)
+    return y[:, :pn]

@@ -7,7 +7,10 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 
 - ``motion_frames_per_sec`` (headline): full speech->motion path (wav2vec2-300M
   audio encode -> KV-cached multi-scale AR decode -> BITWISE_VAE decode) over
-  an 8-window (32 s) clip. Baseline = 500 frames/s/chip (>10x real-time).
+  an 8-window (32 s) clip. Device throughput, pipelined + scalar-reduced like
+  every other section; the single-dispatch number (one full motion-track
+  fetch + tunnel RTT included) is reported separately as
+  ``clip_e2e_latency_ms``. Baseline = 500 frames/s/chip (>10x real-time).
 - ``stream_p50_ms``: true streaming latency — median per-step device time of
   ``BitwiseARModel.window_step`` (the ``engine.stream()`` step) with a donated
   carry. BASELINE.md target: p50 < 200 ms per window.
@@ -32,10 +35,13 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
   pallas_call per scale level instead of the 12-block XLA scan.
 - ``motion_fusedx_frames_per_sec``: the fused kernel at f32 (exact-precision
   pairing, half-width weight tiles).
+- ``stream_fused_p50_ms``: the streaming window step in the production fused
+  bf16 mode -- both weight-streaming kernels engaged (batch-1 encoder,
+  ops/encoder_block_stack.py, + decode, ops/ar_block_stack.py).
 
 Set ARTALK_BENCH_SECTIONS=motion (comma list of
-{motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx}) to restrict
-sections (e.g. to bound compile time when iterating).
+{motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx,fstream}) to
+restrict sections (e.g. to bound compile time when iterating).
 """
 
 import json
@@ -47,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga",
-                   "fast", "fused", "fusedx")
+                   "fast", "fused", "fusedx", "fstream")
 SECTIONS = {
     s.strip() for s in os.environ.get(
         "ARTALK_BENCH_SECTIONS", ",".join(_KNOWN_SECTIONS)).split(",")
@@ -69,23 +75,30 @@ def bench_motion(model, params):
         rng.standard_normal((n_windows, 1, model.window_samples)).astype(np.float32) * 0.1)
     style_cond = model.encode_style(params, None)
 
-    generate = jax.jit(model.generate)
-    # warmup / compile (device_get forces real completion -- block_until_ready
-    # is unreliable on tunneled platforms)
-    jax.device_get(generate(params, chunks, style_cond))
+    # Throughput (the headline): pipelined clip decodes, scalar-reduced on
+    # device -- the same measurement discipline as every other section
+    # (CLAUDE.md: a single dispatch->device_get cycle pays ~27 ms of
+    # dev-tunnel RTT plus the 340 KB motion-track fetch at ~10-40 MB/s,
+    # neither of which is chip time).
+    gen_sum = jax.jit(lambda p, c, s: jnp.sum(model.generate(p, c, s)))
+    jax.device_get(gen_sum(params, chunks, style_cond))  # compile + warmup
+    ms = _device_ms(lambda i, prev: gen_sum(params, chunks, style_cond), n=7)
+    total_frames = n_windows * model.cfg.vae.window
+    fps = total_frames / (ms / 1000.0)
 
-    # median of per-iteration timings: each iteration pays one dev-tunnel
-    # fetch of the motion track, and a single degraded-tunnel spike must not
-    # drag the headline (observed +-10% run-to-run with a 5-iter mean)
+    # E2E clip latency: ONE dispatch + the full motion-track fetch (the
+    # number a caller waiting on a whole 32 s clip over this dev tunnel
+    # experiences; kept as its own key so the tunnel tax stays visible).
+    generate = jax.jit(model.generate)
+    jax.device_get(generate(params, chunks, style_cond))  # compile
     times = []
-    for _ in range(7):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.device_get(generate(params, chunks, style_cond))
         times.append(time.perf_counter() - t0)
     times.sort()
-    elapsed = times[len(times) // 2]
-    total_frames = n_windows * model.cfg.vae.window
-    return total_frames / elapsed, n_windows
+    e2e_ms = times[len(times) // 2] * 1000.0
+    return fps, e2e_ms, n_windows
 
 
 def bench_stream(model, params):
@@ -255,9 +268,10 @@ def main():
             out.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
 
     def _motion():
-        fps, n_windows = bench_motion(model, params)
+        fps, e2e_ms, n_windows = bench_motion(model, params)
         out.update(value=round(fps, 1), vs_baseline=round(fps / 500.0, 3),
-                   real_time_factor=round(fps / cfg.fps, 2), windows=n_windows)
+                   real_time_factor=round(fps / cfg.fps, 2), windows=n_windows,
+                   clip_e2e_latency_ms=round(e2e_ms, 1))
 
     section("motion", _motion)
     section("stream", lambda: out.__setitem__(
@@ -280,24 +294,39 @@ def main():
 
         fast_model = BitwiseARModel(
             dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True))
-        fps, _ = bench_motion(fast_model, params)  # same weights, bf16 trace
+        fps, _, _ = bench_motion(fast_model, params)  # same weights, bf16 trace
         out["motion_fast_frames_per_sec"] = round(fps, 1)
 
     section("fast", _fast)
 
-    def _fused(key, **overrides):
+    def _fused_model(**overrides):
         import dataclasses
 
         fused_model = BitwiseARModel(
             dataclasses.replace(cfg, fused_ar=True, **overrides))
         packed = dict(params,
                       fused_pack=fused_model.pack_fused_decode(params))
-        fps, _ = bench_motion(fused_model, packed)
+        audio_pack = fused_model.pack_fused_audio(params)
+        if audio_pack is not None:
+            packed["fused_audio_pack"] = audio_pack
+        return fused_model, packed
+
+    def _fused(key, **overrides):
+        fused_model, packed = _fused_model(**overrides)
+        fps, _, _ = bench_motion(fused_model, packed)
         out[key] = round(fps, 1)
 
     section("fused", lambda: _fused("motion_fused_frames_per_sec",
                                     bf16_audio=True, bf16_ar=True))
     section("fusedx", lambda: _fused("motion_fusedx_frames_per_sec"))
+
+    def _fstream():
+        # production streaming mode (fused bf16): per-window latency with
+        # BOTH weight-streaming kernels engaged (batch-1 encoder + decode)
+        fused_model, packed = _fused_model(bf16_audio=True, bf16_ar=True)
+        out["stream_fused_p50_ms"] = round(bench_stream(fused_model, packed), 1)
+
+    section("fstream", _fstream)
     print(json.dumps(out))
 
 

@@ -55,6 +55,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     if cfg.fused_ar:
         params = dict(params, fused_pack=model.pack_fused_decode(params))
+        audio_pack = model.pack_fused_audio(params)
+        if audio_pack is not None:
+            params = dict(params, fused_audio_pack=audio_pack)
     rng = np.random.default_rng(0)
     n_windows = 8
     chunks = jnp.asarray(rng.standard_normal(
