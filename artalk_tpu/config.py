@@ -175,8 +175,15 @@ class ModelConfig:
     # 12-block XLA scan -- weights stream HBM->VMEM double-buffered while
     # activations stay VMEM-resident. Opt-in (ARTALK_AR_FUSED=1): results
     # are parity-tested to atol against the XLA path but not bit-pinned
-    # (the fc2 contraction is tiled). Pairs best with bf16_ar.
+    # (the fc2 contraction is tiled). Pairs best with bf16_ar. Also engages
+    # the batch-1 encoder kernel (ops/encoder_block_stack.py).
     fused_ar: bool = False
+    # weight-only int8 quantization of BOTH fused kernels' weight packs
+    # (symmetric per-output-channel; compute stays bf16, scales fold into
+    # each tile's f32 result): halves the streamed weight bytes again vs
+    # bf16. Only affects the fused Pallas paths -- the XLA fallbacks keep
+    # the bf16_ar/bf16_audio dtype. Opt-in (ARTALK_AR_PRECISION=int8).
+    int8_ar: bool = False
 
     def __post_init__(self):
         if self.mimi is None:

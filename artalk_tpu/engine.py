@@ -39,7 +39,8 @@ from .utils.video import write_video
 
 
 def _resolve_ar_precision(config: ModelConfig) -> ModelConfig:
-    """Apply the ARTALK_AR_PRECISION env knob ("exact" default / "fast").
+    """Apply the ARTALK_AR_PRECISION env knob ("exact" default / "fast" /
+    "int8" = fast + weight-only int8 fused kernels).
 
     "fast" opts the motion path into bfloat16 (audio encoder + AR blocks,
     config.bf16_audio/bf16_ar). Default stays "exact": unlike the GAGA frame
@@ -47,11 +48,16 @@ def _resolve_ar_precision(config: ModelConfig) -> ModelConfig:
     discrete code bits, so fast mode CHANGES outputs.
     """
     ar_prec = os.environ.get("ARTALK_AR_PRECISION", "exact")
-    if ar_prec not in ("exact", "fast"):
+    if ar_prec not in ("exact", "fast", "int8"):
         raise ValueError(
-            f"ARTALK_AR_PRECISION={ar_prec!r}: expected 'exact' or 'fast'")
-    if ar_prec == "fast":
+            f"ARTALK_AR_PRECISION={ar_prec!r}: expected 'exact', 'fast' "
+            "or 'int8'")
+    if ar_prec in ("fast", "int8"):
         config = dataclasses.replace(config, bf16_audio=True, bf16_ar=True)
+    if ar_prec == "int8":
+        # weight-only int8 fused kernels (requires the fused path; the XLA
+        # fallback stays bf16 -- see config.int8_ar)
+        config = dataclasses.replace(config, int8_ar=True, fused_ar=True)
     if os.environ.get("ARTALK_AR_FUSED", "0") not in ("0", ""):
         # fused weight-streaming Pallas decode (ops/ar_block_stack.py);
         # orthogonal to the precision knob, pairs best with "fast"

@@ -229,7 +229,11 @@ class BitwiseARModel:
         inline (hoisted out of scans by XLA, but re-traced per jit call)."""
         from ..ops.ar_block_stack import pack_block_weights
 
-        dtype = jnp.bfloat16 if self.cfg.bf16_ar else jnp.float32
+        dtype = jnp.float32
+        if self.cfg.bf16_ar:
+            dtype = jnp.bfloat16
+        if self.cfg.int8_ar:
+            dtype = jnp.int8
         return pack_block_weights(params["blocks"], self.num_heads,
                                   dtype=dtype)
 
@@ -241,7 +245,11 @@ class BitwiseARModel:
         if (self.cfg.ar.audio_encoder != "wav2vec"
                 or not self.cfg.wav2vec.do_stable_layer_norm):
             return None
-        dtype = jnp.bfloat16 if self.cfg.bf16_audio else jnp.float32
+        dtype = jnp.float32
+        if self.cfg.bf16_audio:
+            dtype = jnp.bfloat16
+        if self.cfg.int8_ar:
+            dtype = jnp.int8
         return self.audio_encoder.pack_fused(params["audio_encoder"],
                                              dtype=dtype)
 
@@ -260,7 +268,7 @@ class BitwiseARModel:
         k_cache, v_cache = caches
         feats, k_new, v_new = ar_block_stack(
             tokens, ada, pack["wtiles"], pack["biases"], k_cache, v_cache,
-            start=start, num_heads=self.num_heads,
+            pack.get("scales"), start=start, num_heads=self.num_heads,
             interpret=jax.default_backend() != "tpu")
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, start,
                                                       axis=2)

@@ -185,7 +185,8 @@ class Wav2VecEncoder:
 
             x = encoder_block_stack(
                 x.astype(jnp.float32), fused_pack["wtiles"],
-                fused_pack["biases"], num_heads=cfg.num_attention_heads,
+                fused_pack["biases"], fused_pack.get("scales"),
+                num_heads=cfg.num_attention_heads,
                 eps=eps, interpret=jax.default_backend() != "tpu")
             return nn.layer_norm_apply(params["encoder"]["final_norm"], x,
                                        eps=eps)

@@ -72,15 +72,41 @@ def _bias_rows(f: int):
             "scale": 5 + f}
 
 
+def quantize_tiles(wtiles: jnp.ndarray, output_axis: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of a stacked tile
+    pack (depth, NT, A, B). ``output_axis[t]`` says which tile axis holds
+    OUTPUT units for tile t (3 = stored columns for forward tiles, 2 =
+    stored rows for transposed fc2 chunks); the scale is the absmax over
+    the other (contraction) axis. Returns (int8 tiles, (depth, NT, TW) f32
+    scales aligned with each tile's output units) -- requires square tiles
+    (TW == d) so both axes map onto the same scale width.
+    """
+    depth, nt, a, b = wtiles.shape
+    assert a == b, "int8 pack requires square tiles (tile_width == d)"
+    amax_col = jnp.max(jnp.abs(wtiles), axis=2)          # per stored column
+    amax_row = jnp.max(jnp.abs(wtiles), axis=3)          # per stored row
+    sel = (output_axis == 3)[None, :, None]
+    amax = jnp.where(sel, amax_col, amax_row)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    div = jnp.where(sel[..., None],
+                    scales[:, :, None, :], scales[:, :, :, None])
+    q = jnp.clip(jnp.round(wtiles / div), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
 def pack_block_weights(blocks, num_heads: int, dtype=jnp.float32,
                        tile_width: int | None = None) -> dict:
     """Pack stacked per-block params (the ``params["blocks"]`` pytree of
     BitwiseARModel) into the kernel's tile-stream layout.
 
     Returns ``{"wtiles": (depth, NT, d, TW) dtype, "biases": (depth, NB, d)
-    f32}``. fc2 row chunks are stored transposed so every tile has the same
-    shape. The bias pack also carries the exp'd per-head attention scale
-    (transformer.py:53-56) repeated across each head's lane group.
+    f32}``; with ``dtype=jnp.int8`` (weight-only quantization, symmetric
+    per-output-channel) an additional ``"scales": (depth, NT, d) f32`` the
+    kernel folds into each tile's matmul result. fc2 row chunks are stored
+    transposed so every tile has the same shape. The bias pack also carries
+    the exp'd per-head attention scale (transformer.py:53-56) repeated
+    across each head's lane group.
     """
     wq = blocks["q"]["w"]
     depth, d, _ = wq.shape
@@ -88,8 +114,10 @@ def pack_block_weights(blocks, num_heads: int, dtype=jnp.float32,
     if tile_width is None:
         # f32 at d=768 with TW=d overruns the ~16MB VMEM budget at the
         # 100-token level (weight tiles + caches + AdaLN blocks), so f32
-        # defaults to half-width tiles; bf16 fits at full width.
-        tile_width = d if (dtype == jnp.bfloat16 or d <= 512) else d // 2
+        # defaults to half-width tiles; bf16/int8 fit at full width (int8
+        # additionally requires TW == d for the scale layout).
+        tile_width = d if (dtype in (jnp.bfloat16, jnp.int8) or d <= 512) \
+            else d // 2
     tw = tile_width
     if d % tw or hidden % tw:
         raise ValueError(f"tile_width {tw} must divide d={d} and hidden={hidden}")
@@ -99,12 +127,19 @@ def pack_block_weights(blocks, num_heads: int, dtype=jnp.float32,
 
     tiles = cols(wq) + cols(blocks["k"]["w"]) + cols(blocks["v"]["w"]) \
         + cols(blocks["proj"]["w"])
+    out_axis = [3] * len(tiles)
     fc1 = cols(blocks["fc1"]["w"])
     fc2 = [blocks["fc2"]["w"][:, c * tw:(c + 1) * tw, :].transpose(0, 2, 1)
            for c in range(hidden // tw)]
     for a, b in zip(fc1, fc2):
         tiles += [a, b]
-    wtiles = jnp.stack(tiles, axis=1).astype(dtype)
+        out_axis += [3, 2]
+    wtiles = jnp.stack(tiles, axis=1)
+    scales = None
+    if dtype == jnp.int8:
+        wtiles, scales = quantize_tiles(wtiles, jnp.asarray(out_axis))
+    else:
+        wtiles = wtiles.astype(dtype)
 
     f = hidden // d
     hd = d // num_heads
@@ -115,21 +150,35 @@ def pack_block_weights(blocks, num_heads: int, dtype=jnp.float32,
     rows += [blocks["fc1"]["b"][:, c * d:(c + 1) * d] for c in range(f)]
     rows += [blocks["fc2"]["b"], scale_row]
     biases = jnp.stack([r.astype(jnp.float32) for r in rows], axis=1)
-    return {"wtiles": wtiles, "biases": biases}
+    pack = {"wtiles": wtiles, "biases": biases}
+    if scales is not None:
+        pack["scales"] = scales
+    return pack
 
 
-def _kernel(x_ref, ada_ref, w_ref, b_ref, kc_ref, vc_ref,
+def _kernel(x_ref, ada_ref, w_ref, b_ref, sc_ref, kc_ref, vc_ref,
             feats_ref, kn_ref, vn_ref,
             x_s, xm_s, q_s, k_s, v_s, at_s, h1_s, ac_s, *,
             plan, depth: int, d: int, tw: int, num_heads: int, start: int,
-            pn: int, pn_pad: int, batch: int, f: int, precision):
+            pn: int, pn_pad: int, batch: int, f: int, precision,
+            quantized: bool):
     dblk = pl.program_id(0)
     t = pl.program_id(1)
     rows = batch * pn_pad
     hd = d // num_heads
     cache_len = kc_ref.shape[2]
     rowmap = _bias_rows(f)
-    cdt = w_ref.dtype
+    cdt = jnp.bfloat16 if quantized else w_ref.dtype
+
+    def wmm(a, w, contract_rhs=0):
+        """Weight-tile matmul; int8 tiles dequantize via the tile's
+        per-output-channel scale row folded into the f32 result."""
+        y = jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (contract_rhs,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if quantized:
+            y = y * sc_ref[0, 0, 0]
+        return y
 
     def mm(a, w, contract_rhs=0):
         return jax.lax.dot_general(
@@ -191,15 +240,15 @@ def _kernel(x_ref, ada_ref, w_ref, b_ref, kc_ref, vc_ref,
             if kind == "q":
                 if j == 0:
                     xm_s[...] = ln_mod(x_s[...], ada(2), ada(4))
-                q_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
+                q_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
             elif kind == "k":
-                k_s[:, ls] = mm(xm_s[...], w)
+                k_s[:, ls] = wmm(xm_s[...], w)
             elif kind == "v":
-                v_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
+                v_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
                 if (j + 1) * tw == d:       # last v tile -> attention glue
                     attention()
             elif kind == "proj":
-                xm_s[:, ls] = mm(at_s[...], w) + b_ref[0, rowmap["proj"], ls]
+                xm_s[:, ls] = wmm(at_s[...], w) + b_ref[0, rowmap["proj"], ls]
                 if (j + 1) * tw == d:       # last proj tile -> residual + LN2
                     x = x_s[...] + xm_s[...] * ada(0)
                     x_s[...] = x
@@ -209,10 +258,10 @@ def _kernel(x_ref, ada_ref, w_ref, b_ref, kc_ref, vc_ref,
                 brow = rowmap["fc1"] + (j * tw) // d
                 boff = (j * tw) % d
                 h1_s[...] = jax.nn.gelu(
-                    mm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw],
+                    wmm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw],
                     approximate=True)
             else:                            # fc2 row chunk (stored transposed)
-                ac_s[...] += mm(h1_s[...], w, contract_rhs=1)
+                ac_s[...] += wmm(h1_s[...], w, contract_rhs=1)
 
     @pl.when(t == len(plan) - 1)
     def _finish_block():
@@ -228,7 +277,8 @@ def _kernel(x_ref, ada_ref, w_ref, b_ref, kc_ref, vc_ref,
                                              "interpret"))
 def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
                    biases: jnp.ndarray, k_cache: jnp.ndarray,
-                   v_cache: jnp.ndarray, *, start: int, num_heads: int,
+                   v_cache: jnp.ndarray, scales: jnp.ndarray | None = None,
+                   *, start: int, num_heads: int,
                    interpret: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run one level's tokens through the whole block stack.
@@ -241,6 +291,9 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
       k_cache:  (depth, B, cache_len, d) merged-head key cache; rows
                 [0, start) hold valid (already L2-normalized) prefix keys.
       v_cache:  (depth, B, cache_len, d) merged-head value cache.
+      scales:   (depth, NT, d) f32 per-output-channel dequant scales --
+                required iff ``wtiles`` is int8 (weight-only quantization;
+                compute runs bf16, scales fold into the f32 tile results).
       start:    level token offset in the cache (prev_len + level offset).
 
     Returns (feats (B, pn, d) f32, k_new (depth, B, pn, d), v_new (depth,
@@ -253,6 +306,14 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
     hidden = f * d
     plan = _tile_plan(d, hidden, tw)
     assert len(plan) == nt, (len(plan), nt)
+    quantized = wtiles.dtype == jnp.int8
+    assert quantized == (scales is not None), \
+        "int8 wtiles require scales (and scales require int8 wtiles)"
+    if scales is None:
+        scales = jnp.ones((depth, nt, d), jnp.float32)  # never read
+    # 4-D so the block's last two dims equal the array's (Mosaic block-shape
+    # rule: second-minor must divide by 8 or equal the array dimension)
+    scales4 = scales.reshape(depth, nt, 1, d)
     pn_pad = -(-pn // 16) * 16
     pad = pn_pad - pn
     if pad:
@@ -265,7 +326,8 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
 
     kernel = functools.partial(
         _kernel, plan=plan, depth=depth, d=d, tw=tw, num_heads=num_heads,
-        start=start, pn=pn, pn_pad=pn_pad, batch=b, f=f, precision=precision)
+        start=start, pn=pn, pn_pad=pn_pad, batch=b, f=f, precision=precision,
+        quantized=quantized)
     rows = b * pn_pad
     feats, k_new, v_new = pl.pallas_call(
         kernel,
@@ -275,6 +337,7 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
             pl.BlockSpec((1, b, pn_pad, 6 * d), lambda i, t: (i, 0, 0, 0)),
             pl.BlockSpec((1, 1, d, tw), lambda i, t: (i, t, 0, 0)),
             pl.BlockSpec((1, biases.shape[1], d), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda i, t: (i, t, 0, 0)),
             pl.BlockSpec((1, b, cache_len, d), lambda i, t: (i, 0, 0, 0)),
             pl.BlockSpec((1, b, cache_len, d), lambda i, t: (i, 0, 0, 0)),
         ],
@@ -294,5 +357,5 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, ada, wtiles, biases, k_cache, v_cache)
+    )(x, ada, wtiles, biases, scales4, k_cache, v_cache)
     return feats[:, :pn], k_new[:, :, :pn], v_new[:, :, :pn]

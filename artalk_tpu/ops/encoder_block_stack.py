@@ -86,17 +86,22 @@ def pack_encoder_weights(layers, dtype=jnp.float32,
     Wav2VecEncoder) into the kernel's tile-stream layout.
 
     Returns ``{"wtiles": (depth, NT, d, TW) dtype, "biases": (depth, NB, d)
-    f32}``. fc2 row chunks are stored transposed so every tile has the same
-    shape; biases also carry the two LayerNorms' scale/bias rows (norms stay
-    f32 regardless of the weight dtype).
+    f32}``; with ``dtype=jnp.int8`` (weight-only quantization, symmetric
+    per-output-channel) an additional ``"scales": (depth, NT, d) f32`` the
+    kernel folds into each tile's matmul result. fc2 row chunks are stored
+    transposed so every tile has the same shape; biases also carry the two
+    LayerNorms' scale/bias rows (norms stay f32 regardless of the weight
+    dtype).
     """
     wq = layers["q"]["w"]
     depth, d, _ = wq.shape
     hidden = layers["fc1"]["w"].shape[2]
     if tile_width is None:
         # same rule as the AR pack: f32 full-width tiles overrun the ~16MB
-        # VMEM budget at d=1024, so f32 defaults to half width; bf16 fits.
-        tile_width = d if (dtype == jnp.bfloat16 or d <= 512) else d // 2
+        # VMEM budget at d=1024, so f32 defaults to half width; bf16/int8
+        # fit (int8 additionally requires TW == d for the scale layout).
+        tile_width = d if (dtype in (jnp.bfloat16, jnp.int8) or d <= 512) \
+            else d // 2
     tw = tile_width
     if d % tw or hidden % tw:
         raise ValueError(f"tile_width {tw} must divide d={d} and hidden={hidden}")
@@ -106,12 +111,21 @@ def pack_encoder_weights(layers, dtype=jnp.float32,
 
     tiles = cols(wq) + cols(layers["k"]["w"]) + cols(layers["v"]["w"]) \
         + cols(layers["out"]["w"])
+    out_axis = [3] * len(tiles)
     fc1 = cols(layers["fc1"]["w"])
     fc2 = [layers["fc2"]["w"][:, c * tw:(c + 1) * tw, :].transpose(0, 2, 1)
            for c in range(hidden // tw)]
     for a, b in zip(fc1, fc2):
         tiles += [a, b]
-    wtiles = jnp.stack(tiles, axis=1).astype(dtype)
+        out_axis += [3, 2]
+    wtiles = jnp.stack(tiles, axis=1)
+    scales = None
+    if dtype == jnp.int8:
+        from .ar_block_stack import quantize_tiles
+
+        wtiles, scales = quantize_tiles(wtiles, jnp.asarray(out_axis))
+    else:
+        wtiles = wtiles.astype(dtype)
 
     f = hidden // d
     rows = [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"],
@@ -121,24 +135,36 @@ def pack_encoder_weights(layers, dtype=jnp.float32,
              layers["norm1"]["scale"], layers["norm1"]["bias"],
              layers["norm2"]["scale"], layers["norm2"]["bias"]]
     biases = jnp.stack([r.astype(jnp.float32) for r in rows], axis=1)
-    return {"wtiles": wtiles, "biases": biases}
+    pack = {"wtiles": wtiles, "biases": biases}
+    if scales is not None:
+        pack["scales"] = scales
+    return pack
 
 
-def _kernel(x_ref, w_ref, b_ref, y_ref,
+def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
             x_s, xm_s, q_s, k_s, v_s, at_s, h1_s, ac_s, *,
             plan, depth: int, d: int, tw: int, num_heads: int, pn: int,
-            pn_pad: int, batch: int, f: int, eps: float, precision):
+            pn_pad: int, batch: int, f: int, eps: float, precision,
+            quantized: bool):
     t = pl.program_id(1)
     rows = batch * pn_pad
     hd = d // num_heads
     rowmap = _bias_rows(f)
-    cdt = w_ref.dtype
+    cdt = jnp.bfloat16 if quantized else w_ref.dtype
     scale = hd ** -0.5
 
     def mm(a, w, contract_rhs=0):
         return jax.lax.dot_general(
             a.astype(cdt), w.astype(cdt), (((1,), (contract_rhs,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+
+    def wmm(a, w, contract_rhs=0):
+        """Weight-tile matmul; int8 tiles dequantize via the tile's
+        per-output-channel scale row folded into the f32 result."""
+        y = mm(a, w, contract_rhs)
+        if quantized:
+            y = y * sc_ref[0, 0, 0]
+        return y
 
     def ln(x, srow, brow):
         mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -173,15 +199,15 @@ def _kernel(x_ref, w_ref, b_ref, y_ref,
             if kind == "q":
                 if j == 0:
                     xm_s[...] = ln(x_s[...], rowmap["ln1s"], rowmap["ln1b"])
-                q_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
+                q_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
             elif kind == "k":
-                k_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["k"], ls]
+                k_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["k"], ls]
             elif kind == "v":
-                v_s[:, ls] = mm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
+                v_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
                 if (j + 1) * tw == d:       # last v tile -> attention glue
                     attention()
             elif kind == "out":
-                xm_s[:, ls] = mm(at_s[...], w) + b_ref[0, rowmap["out"], ls]
+                xm_s[:, ls] = wmm(at_s[...], w) + b_ref[0, rowmap["out"], ls]
                 if (j + 1) * tw == d:       # last out tile -> residual + LN2
                     x = x_s[...] + xm_s[...]
                     x_s[...] = x
@@ -191,9 +217,9 @@ def _kernel(x_ref, w_ref, b_ref, y_ref,
                 brow = rowmap["fc1"] + (j * tw) // d
                 boff = (j * tw) % d
                 h1_s[...] = _gelu_erf(
-                    mm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw])
+                    wmm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw])
             else:                            # fc2 row chunk (stored transposed)
-                ac_s[...] += mm(h1_s[...], w, contract_rhs=1)
+                ac_s[...] += wmm(h1_s[...], w, contract_rhs=1)
 
     @pl.when(t == len(plan) - 1)
     def _finish_layer():
@@ -206,13 +232,17 @@ def _kernel(x_ref, w_ref, b_ref, y_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret"))
 def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
-                        biases: jnp.ndarray, *, num_heads: int,
+                        biases: jnp.ndarray,
+                        scales: jnp.ndarray | None = None, *, num_heads: int,
                         eps: float = 1e-5, interpret: bool = False
                         ) -> jnp.ndarray:
     """Run (B, T, d) tokens through the whole pre-LN encoder stack.
 
     Input is the post-(projection + positional-conv) hidden state; the final
-    LayerNorm after the stack stays with the caller. Returns (B, T, d) f32.
+    LayerNorm after the stack stays with the caller. ``scales`` is required
+    iff ``wtiles`` is int8 (weight-only quantization; compute runs bf16,
+    per-output-channel scales fold into the f32 tile results). Returns
+    (B, T, d) f32.
     """
     depth, nt, d, tw = wtiles.shape
     b, pn, _ = x.shape
@@ -220,6 +250,14 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
     hidden = f * d
     plan = _tile_plan(d, hidden, tw)
     assert len(plan) == nt, (len(plan), nt)
+    quantized = wtiles.dtype == jnp.int8
+    assert quantized == (scales is not None), \
+        "int8 wtiles require scales (and scales require int8 wtiles)"
+    if scales is None:
+        scales = jnp.ones((depth, nt, d), jnp.float32)  # never read
+    # 4-D so the block's last two dims equal the array's (Mosaic block-shape
+    # rule: second-minor must divide by 8 or equal the array dimension)
+    scales4 = scales.reshape(depth, nt, 1, d)
     pn_pad = -(-pn // 16) * 16
     pad = pn_pad - pn
     if pad:
@@ -229,7 +267,8 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
 
     kernel = functools.partial(
         _kernel, plan=plan, depth=depth, d=d, tw=tw, num_heads=num_heads,
-        pn=pn, pn_pad=pn_pad, batch=b, f=f, eps=eps, precision=precision)
+        pn=pn, pn_pad=pn_pad, batch=b, f=f, eps=eps, precision=precision,
+        quantized=quantized)
     rows = b * pn_pad
     y = pl.pallas_call(
         kernel,
@@ -238,6 +277,7 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
             pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
             pl.BlockSpec((1, 1, d, tw), lambda i, t: (i, t, 0, 0)),
             pl.BlockSpec((1, biases.shape[1], d), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda i, t: (i, t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, pn_pad, d), jnp.float32),
@@ -247,5 +287,5 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, wtiles, biases)
+    )(x, wtiles, biases, scales4)
     return y[:, :pn]

@@ -38,9 +38,12 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``stream_fused_p50_ms``: the streaming window step in the production fused
   bf16 mode -- both weight-streaming kernels engaged (batch-1 encoder,
   ops/encoder_block_stack.py, + decode, ops/ar_block_stack.py).
+- ``motion_int8_frames_per_sec`` / ``stream_int8_p50_ms``: weight-only int8
+  quantized fused kernels (ARTALK_AR_PRECISION=int8; per-output-channel
+  symmetric scales, bf16 compute).
 
 Set ARTALK_BENCH_SECTIONS=motion (comma list of
-{motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx,fstream}) to
+{motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx,fstream,int8}) to
 restrict sections (e.g. to bound compile time when iterating).
 """
 
@@ -53,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _KNOWN_SECTIONS = ("motion", "stream", "mesh", "gsplat", "batched", "gaga",
-                   "fast", "fused", "fusedx", "fstream")
+                   "fast", "fused", "fusedx", "fstream", "int8")
 SECTIONS = {
     s.strip() for s in os.environ.get(
         "ARTALK_BENCH_SECTIONS", ",".join(_KNOWN_SECTIONS)).split(",")
@@ -327,6 +330,17 @@ def main():
         out["stream_fused_p50_ms"] = round(bench_stream(fused_model, packed), 1)
 
     section("fstream", _fstream)
+
+    def _int8():
+        # weight-only int8 fused kernels (ARTALK_AR_PRECISION=int8): halves
+        # the streamed weight bytes again vs bf16; changes code bits
+        int8_model, packed = _fused_model(bf16_audio=True, bf16_ar=True,
+                                          int8_ar=True)
+        fps, _, _ = bench_motion(int8_model, packed)
+        out["motion_int8_frames_per_sec"] = round(fps, 1)
+        out["stream_int8_p50_ms"] = round(bench_stream(int8_model, packed), 1)
+
+    section("int8", _int8)
     print(json.dumps(out))
 
 

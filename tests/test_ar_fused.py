@@ -154,3 +154,53 @@ def test_pack_shapes():
     # f32 tile pack reassembles to the original fc2 weight
     f = pack_f32["biases"].shape[1] - 6
     assert f == 4
+
+
+def test_int8_pack_quantization_roundtrip():
+    """int8 pack: dequantized tiles must reproduce the f32 tiles within one
+    quantization step on the correct (per-output-channel) axis -- columns
+    for forward tiles, rows for the transposed fc2 chunks."""
+    from artalk_tpu.ops.ar_block_stack import pack_block_weights
+
+    model = BitwiseARModel(PROD_GEO)
+    params = model.init(jax.random.PRNGKey(0))
+    ref = pack_block_weights(params["blocks"], model.num_heads,
+                             dtype=jnp.bfloat16, tile_width=model.embed_dim)
+    # rebuild the unquantized f32 tiles via the bf16 pack's layout
+    f32_tiles = pack_block_weights(params["blocks"], model.num_heads,
+                                   dtype=jnp.float32,
+                                   tile_width=model.embed_dim)["wtiles"]
+    pack = pack_block_weights(params["blocks"], model.num_heads,
+                              dtype=jnp.int8)
+    assert pack["wtiles"].dtype == jnp.int8
+    assert pack["scales"].shape == (model.depth, 12, model.embed_dim)
+    q = np.asarray(pack["wtiles"], np.float32)
+    s = np.asarray(pack["scales"])
+    w = np.asarray(f32_tiles)
+    # forward tiles (first 4): scale per stored column; fc2 tiles (odd
+    # indices past 4): scale per stored row
+    for t in range(q.shape[1]):
+        fc2 = t >= 4 and (t - 4) % 2 == 1
+        deq = q[:, t] * (s[:, t, :, None] if fc2 else s[:, t, None, :])
+        step = (s[:, t, :, None] if fc2 else s[:, t, None, :])
+        assert np.all(np.abs(deq - w[:, t]) <= 0.51 * step), f"tile {t}"
+    assert ref["biases"].shape == pack["biases"].shape
+
+
+def test_fused_int8_decode_agrees():
+    """int8 weight-only pairing: int8 fused decode vs exact decode keeps
+    high bit agreement (same bound family as the bf16 mode test)."""
+    cfg = dataclasses.replace(CFG, bf16_ar=True, int8_ar=True)
+    exact, fused, params = _models(cfg)
+    # exact reference bits: plain f32 model on the same weights
+    f32_model = BitwiseARModel(CFG)
+    audio_cond, style_cond, prev_feat = _decode_inputs(
+        f32_model, params, jax.random.PRNGKey(6))
+    bits_x = f32_model.decode_window(params, audio_cond, style_cond,
+                                     prev_feat)
+    pack = fused.pack_fused_decode(params)
+    assert pack["wtiles"].dtype == jnp.int8 and "scales" in pack
+    bits_q = fused.decode_window(dict(params, fused_pack=pack), audio_cond,
+                                 style_cond, prev_feat)
+    agree = float(jnp.mean((bits_x == bits_q).astype(jnp.float32)))
+    assert agree >= 0.9, f"int8 fused decode bit agreement {agree}"

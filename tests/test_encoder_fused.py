@@ -65,6 +65,19 @@ def test_fused_encoder_bf16_close_to_f32():
                                atol=0.08, rtol=0.08)
 
 
+def test_fused_encoder_int8_close_to_f32():
+    """int8 weight-only pack: kernel output must stay within quantization
+    noise of the f32 XLA truth (per-output-channel symmetric int8, bf16
+    compute)."""
+    enc, params, feats = _setup(SMALL)
+    y_x = enc.encode(params, feats)
+    pack = enc.pack_fused(params, dtype=jnp.int8)
+    assert pack["wtiles"].dtype == jnp.int8 and "scales" in pack
+    y_q = enc.encode(params, feats, fused_pack=pack)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_x),
+                               atol=0.15, rtol=0.15)
+
+
 def test_fused_encoder_batch_falls_back():
     """batch > 1 must silently keep the XLA scan (bit-identical to no pack)."""
     enc, params, feats = _setup(SMALL, batch=2)

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Per-stage device timing of the wav2vec2 audio encoder.
+
+Splits the batched-windows encode (the dominant stage of the offline
+``generate`` clip path) into conv feature extractor / feature projection +
+positional conv / transformer stack, at both f32 (exact mode) and bf16
+(fast mode). Run on the real TPU:
+
+    python tools/profile_encoder.py [--iters 10] [--windows 8]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artalk_tpu.utils.timing import timed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--windows", type=int, default=8)
+    args = ap.parse_args()
+    it = args.iters
+
+    from artalk_tpu.config import ModelConfig
+    from artalk_tpu.models.wav2vec import Wav2VecEncoder, normalize_audio
+
+    cfg = ModelConfig()
+    enc = Wav2VecEncoder(cfg.wav2vec)
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b = args.windows
+    audio = jnp.asarray(rng.standard_normal(
+        (b, cfg.window_audio_samples)).astype(np.float32) * 0.1)
+
+    print(f"device: {jax.devices()[0]}   iters: {it}   windows: {b}\n")
+
+    for mode in ("f32", "bf16"):
+        if mode == "bf16":
+            p = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                             if a.dtype == jnp.float32 else a, params)
+            aud = audio.astype(jnp.bfloat16)
+        else:
+            p, aud = params, audio
+        print(f"--- {mode} (batched {b} windows) ---")
+        timed("full __call__",
+              jax.jit(lambda p, a: jnp.sum(enc(p, a))), p, aud, iters=it)
+        timed("conv feature extractor",
+              jax.jit(lambda p, a: jnp.sum(enc.extract_features(
+                  p, normalize_audio(a)))), p, aud, iters=it)
+        feats = jax.jit(enc.extract_features)(p, normalize_audio(aud))
+        timed("pos conv embed",
+              jax.jit(lambda p, x: jnp.sum(enc._pos_conv_embed(p, x))),
+              p, jnp.zeros((b, feats.shape[1], cfg.wav2vec.hidden_size),
+                           feats.dtype), iters=it)
+        timed("encode (proj + 24-layer stack)",
+              jax.jit(lambda p, f: jnp.sum(enc.encode(p, f))), p, feats,
+              iters=it)
+        print()
+
+
+if __name__ == "__main__":
+    main()
