@@ -396,13 +396,13 @@ class BitwiseARModel:
                 if a.dtype == jnp.float32 else a, enc_params)
             audio_chunk = audio_chunk.astype(jnp.bfloat16)
         # Fused weight-streaming encoder kernel (ops/encoder_block_stack.py)
-        # on the streaming batch-1 wav2vec path: the kernel keeps the whole
-        # (208, d) activation set in VMEM, so larger batches (the offline
-        # batched-windows encode, which already amortizes weight reads)
-        # silently keep the XLA scan.
+        # on the stable-LN wav2vec path. Batch 1 (streaming) runs it
+        # directly; the offline batched-windows encode lax.maps the batch-1
+        # kernel over windows, which beats the weight-amortizing XLA scan
+        # for bf16/int8 packs (encode() falls back to the scan for f32
+        # packs and non-stable layouts -- see Wav2VecEncoder.encode).
         fused_pack = None
         if (self.cfg.fused_ar and self.cfg.ar.audio_encoder == "wav2vec"
-                and audio_chunk.shape[0] == 1
                 and self.cfg.wav2vec.do_stable_layer_norm):
             fused_pack = params.get("fused_audio_pack")
             if fused_pack is None:

@@ -169,9 +169,18 @@ class Wav2VecEncoder:
         or the base/HuBERT post-LN layout when ``do_stable_layer_norm`` is
         False: encoder LN before the stack, LN after each residual).
 
-        ``fused_pack`` (stable layout, batch 1 only) routes the layer stack
-        through the weight-streaming Pallas kernel instead of the XLA scan;
-        parity-tested to atol, not bit-pinned (see ops/encoder_block_stack)."""
+        ``fused_pack`` (stable layout) routes the layer stack through the
+        weight-streaming Pallas kernel instead of the XLA scan; parity-tested
+        to atol, not bit-pinned (see ops/encoder_block_stack). Batch 1 runs
+        the kernel directly; larger batches (the offline batched-windows
+        encode) ``lax.map`` the batch-1 kernel over windows -- measured
+        FASTER than the weight-amortizing XLA scan despite re-streaming the
+        weights per window (b=8 stack: scan bf16 12.3 ms vs map int8 9.9 /
+        map bf16 10.5; tools/exp_encoder_batched_fused.py), because the XLA
+        scan round-trips every intermediate through HBM while the mapped
+        kernels pipeline back-to-back. f32 packs keep the XLA scan at B>1
+        (half-width HIGHEST-precision tiles are a parity artifact, not a
+        perf path -- same verdict as the AR "fusedx" mode)."""
         cfg = self.cfg
         eps = cfg.layer_norm_eps
         fp = params["feature_projection"]
@@ -180,14 +189,22 @@ class Wav2VecEncoder:
         if not cfg.do_stable_layer_norm:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
         if (fused_pack is not None and cfg.do_stable_layer_norm
-                and x.shape[0] == 1):
+                and (x.shape[0] == 1
+                     or fused_pack["wtiles"].dtype != jnp.float32)):
             from ..ops.encoder_block_stack import encoder_block_stack
 
-            x = encoder_block_stack(
-                x.astype(jnp.float32), fused_pack["wtiles"],
-                fused_pack["biases"], fused_pack.get("scales"),
-                num_heads=cfg.num_attention_heads,
-                eps=eps, interpret=jax.default_backend() != "tpu")
+            def run_window(xi):
+                return encoder_block_stack(
+                    xi, fused_pack["wtiles"],
+                    fused_pack["biases"], fused_pack.get("scales"),
+                    num_heads=cfg.num_attention_heads,
+                    eps=eps, interpret=jax.default_backend() != "tpu")
+
+            x = x.astype(jnp.float32)
+            if x.shape[0] == 1:
+                x = run_window(x)
+            else:
+                x = jax.lax.map(lambda xi: run_window(xi[None])[0], x)
             return nn.layer_norm_apply(params["encoder"]["final_norm"], x,
                                        eps=eps)
         num_heads = cfg.num_attention_heads

@@ -25,8 +25,12 @@ q/k/v (d/TW column tiles each), attention output projection, fc1
 
 VMEM: at d=1024 the B=1 working set (~7 (208, 1024) f32 scratch arrays +
 one double-buffered weight tile) is ~11 MB; B=2 overruns the ~16 MB budget,
-so callers gate on batch 1 and keep the XLA scan otherwise (the batched
-offline path amortizes weight reads across windows anyway).
+so callers gate on batch 1 in a single call. The batched offline encode
+``lax.map``s the batch-1 kernel over windows instead -- measured FASTER
+than the weight-amortizing XLA scan despite re-streaming the weights per
+window (b=8 stack: scan bf16 12.3 ms vs map int8 9.9 / map bf16 10.5;
+tools/exp_encoder_batched_fused.py), because the mapped kernels keep
+activations in VMEM and pipeline back-to-back.
 
 Numerics: accumulation f32 (LN stats, softmax, matmul
 ``preferred_element_type``); f32 weights use HIGHEST matmul precision and

@@ -2,8 +2,9 @@
 
 The fused path must reproduce ``Wav2VecEncoder.encode``'s XLA scan: same
 pre-LN layer structure, same erf GELU, same softmax attention. It is opt-in
-(cfg.fused_ar, batch-1 stable-LN layout only) and tiled differently (fc2
-split into row chunks), so parity is to atol, not bit-pinned.
+(cfg.fused_ar, stable-LN layout; batch 1 direct, bf16/int8 batches mapped
+per window) and tiled differently (fc2 split into row chunks), so parity
+is to atol, not bit-pinned.
 
 Kernels run in interpret mode on CPU (as all Pallas kernels in CI).
 """
@@ -79,7 +80,9 @@ def test_fused_encoder_int8_close_to_f32():
 
 
 def test_fused_encoder_batch_falls_back():
-    """batch > 1 must silently keep the XLA scan (bit-identical to no pack)."""
+    """batch > 1 with an f32 pack must silently keep the XLA scan
+    (bit-identical to no pack): the half-width HIGHEST-precision f32 tiles
+    are a parity artifact, not a perf path."""
     enc, params, feats = _setup(SMALL, batch=2)
     pack = enc.pack_fused(params)
     y_pack = enc.encode(params, feats, fused_pack=pack)
@@ -87,10 +90,29 @@ def test_fused_encoder_batch_falls_back():
     assert np.array_equal(np.asarray(y_pack), np.asarray(y_x))
 
 
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8],
+                         ids=["bf16", "int8"])
+def test_fused_encoder_batched_map(dtype):
+    """batch > 1 with a bf16/int8 pack lax.maps the batch-1 kernel over the
+    window axis (the offline batched-windows encode path). Each window's
+    result must match running that window alone through the kernel
+    bit-for-bit, and stay within quantization noise of the XLA scan."""
+    enc, params, feats = _setup(SMALL, batch=3, seq=9)
+    pack = enc.pack_fused(params, dtype=dtype)
+    y_map = enc.encode(params, feats, fused_pack=pack)
+    for i in range(feats.shape[0]):
+        y_one = enc.encode(params, feats[i:i + 1], fused_pack=pack)
+        np.testing.assert_array_equal(np.asarray(y_map[i]),
+                                      np.asarray(y_one[0]))
+    y_x = enc.encode(params, feats)
+    np.testing.assert_allclose(np.asarray(y_map), np.asarray(y_x),
+                               atol=0.15, rtol=0.15)
+
+
 def test_fused_audio_condition_in_model():
     """End-to-end through BitwiseARModel.audio_condition: the fused_ar model
-    must produce conditioning close to the exact model's, and generate must
-    run (the offline batched path falls back to the scan)."""
+    must produce conditioning close to the exact model's (batch 1 runs the
+    kernel directly; f32 packs at batch > 1 keep the XLA scan)."""
     cfg = ModelConfig(
         ar=ARConfig(depth=2, num_heads=4, prev_ratio=1, embed_dim=64,
                     style_dim=16, audio_dim=32),
