@@ -27,13 +27,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--precision",
-                    choices=("exact", "fast", "fused", "fusedx"),
+                    choices=("exact", "fast", "fused", "fusedx", "int8"),
                     default="exact",
                     help="fast = bf16 audio encoder + bf16 AR blocks "
                          "(the ARTALK_AR_PRECISION=fast engine mode); "
                          "fused = fast + the weight-streaming Pallas decode "
                          "kernel (ARTALK_AR_FUSED=1); fusedx = the fused "
-                         "kernel at f32")
+                         "kernel at f32; int8 = fused with weight-only "
+                         "int8 tiles (ARTALK_AR_PRECISION=int8)")
     args = ap.parse_args()
     it = args.iters
 
@@ -47,10 +48,12 @@ def main():
     import dataclasses
 
     cfg = ModelConfig()
-    if args.precision in ("fast", "fused"):
+    if args.precision in ("fast", "fused", "int8"):
         cfg = dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True)
-    if args.precision in ("fused", "fusedx"):
+    if args.precision in ("fused", "fusedx", "int8"):
         cfg = dataclasses.replace(cfg, fused_ar=True)
+    if args.precision == "int8":
+        cfg = dataclasses.replace(cfg, int8_ar=True)
     model = BitwiseARModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     if cfg.fused_ar:
