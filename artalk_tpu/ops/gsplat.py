@@ -266,7 +266,13 @@ def _build_instances(comp: dict, opac, colors, size: int,
     int32 keys, one searchsorted for the segment offsets, and ONE packed
     (geo+color) gather (when colors are bfloat16 the packed table splits
     into an f32 geo gather + a half-traffic bf16 color gather -- positions
-    must stay f32, bf16 at 512 px quantizes to ~2 px). Depth order is folded
+    must stay f32, bf16 at 512 px quantizes to ~2 px). Fusing the split
+    pair into a single (48, n) int16 table via bitcasting the f32 geo rows
+    was measured and REJECTED: standalone the one-gather variant wins
+    (tools/exp_gather_split.py: 3.98 vs 5.19 ms at 720k indices), but
+    in-program XLA overlaps the two gathers and the int16 gather plus the
+    bitcast/transpose recovery LOSES 3.7 ms/frame on the bench scene
+    (8.39 -> 12.12 ms whole-rasterize). Depth order is folded
     into the key -- gaussians are
     depth-sorted once (N elements, DUP x smaller), and each instance's key is
     ``tile_id << rank_bits | depth_rank`` where the rank is just the row
@@ -287,11 +293,21 @@ def _build_instances(comp: dict, opac, colors, size: int,
     # key order (by row index) is front-to-back.
     perm = jnp.argsort(comp["depth"])
     # packed per-gaussian table, depth-ordered, feature-major for the final
-    # lane-aligned gather: rows 0..7 = [mx, my, ca, cb, cc, op, 0, 0]
-    # (padded 6 -> 8 for sublane-aligned kernel DMA), rows 8..39 = colors.
+    # lane-aligned gather: rows 0..7 = [mx, my, ca, cb, cc, op, radius, 0]
+    # (padded to 8 for sublane-aligned kernel DMA; the kernel reads rows 0..5
+    # only, so radius rides the padding row instead of paying its own
+    # 180k-index permute pass), rows 8..39 = colors.
+    #
+    # NOTE on gather structure (measured, tools/exp_gather_split.py +
+    # whole-rasterize A/B): standalone microbenchmarks say gather cost is
+    # per index pass (row width/table size barely matter), suggesting the
+    # split pair should fuse into one int16 table -- but in-program the two
+    # gathers overlap and the fused int16 variant LOSES 3.7 ms/frame, so
+    # the split layout stays. Radius rides geo row 6 (the kernel only reads
+    # rows 0..5) instead of paying its own 180k-index permute.
     zeros = jnp.zeros((n,), jnp.float32)
     geo_rows = jnp.stack([comp["mx"], comp["my"], comp["ca"], comp["cb"],
-                          comp["cc"], opac, zeros, zeros])
+                          comp["cc"], opac, comp["radius"], zeros])
     split = colors.dtype != geo_rows.dtype
     if split:  # bf16 colors: separate tables, one gather each
         table = geo_rows[:, perm]                         # (8, n) f32
@@ -299,8 +315,7 @@ def _build_instances(comp: dict, opac, colors, size: int,
     else:
         table = jnp.concatenate([geo_rows, colors.T], axis=0)[:, perm]
     mx_s, my_s = table[0], table[1]
-    opac_s = table[5]
-    radius_s = comp["radius"][perm]
+    opac_s, radius_s = table[5], table[6]
 
     tx, ty, valid = _slot_validity(mx_s, my_s, radius_s, opac_s, size)
     tile_id = jnp.where(valid, (ty * tiles_x + tx).astype(jnp.int32), num_tiles)

@@ -17,6 +17,17 @@ from artalk_tpu.server import MotionServer
 from test_serving import CFG
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Skip the persistent compile cache here -- see the twin fixture in
+    test_serving.py (rare jaxlib segfaults in CPU-executable serialize/
+    deserialize, one of them from this module's HTTP handler thread)."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 @pytest.fixture(scope="module")
 def served():
     engine = ARTAvatarInferEngine(load_gaga=False, config=CFG, seed=0)

@@ -21,6 +21,22 @@ CFG = ModelConfig(
         num_conv_pos_embedding_groups=4))
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """jaxlib's CPU-executable (de)serialization very rarely segfaults the
+    whole pytest process inside the persistent compile cache (three observed
+    crashes, all in this module or test_server.py: two in
+    ``get_executable_and_time``/deserialize, one in
+    ``put_executable_and_time``/serialize from an HTTP handler thread).
+    These modules compile the largest CPU executables in the suite; skip the
+    persistent cache for them -- a slightly slower warm run beats a 30-minute
+    suite rerun on a segfault."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 @pytest.fixture(scope="module")
 def model_and_params():
     model = BitwiseARModel(CFG)

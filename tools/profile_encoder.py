@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--windows", type=int, default=8)
+    ap.add_argument("--convdetail", action="store_true",
+                    help="per-layer cumulative timing of the conv frontend "
+                         "(prefix k minus prefix k-1), plus a no-norm "
+                         "variant and a transpose-free channel-LN variant")
     args = ap.parse_args()
     it = args.iters
 
@@ -62,6 +66,49 @@ def main():
         timed("encode (proj + 24-layer stack)",
               jax.jit(lambda p, f: jnp.sum(enc.encode(p, f))), p, feats,
               iters=it)
+
+        if args.convdetail:
+            from artalk_tpu.models.wav2vec import _conv1d
+            from artalk_tpu.models import nn
+
+            def prefix(p, a, k, norm="layer"):
+                """First k conv layers; norm: layer | none | chanln."""
+                x = normalize_audio(a)[:, None, :]
+                for i, (lp, stride) in enumerate(
+                        zip(p["feature_extractor"], cfg.wav2vec.conv_stride)):
+                    if i >= k:
+                        break
+                    x = _conv1d(lp["conv"]["w"], lp["conv"].get("b"), x,
+                                stride=stride)
+                    if norm == "layer":
+                        x = x.transpose(0, 2, 1)
+                        x = nn.layer_norm_apply(
+                            lp["norm"], x, eps=cfg.wav2vec.layer_norm_eps)
+                        x = x.transpose(0, 2, 1)
+                    elif norm == "chanln":  # same math, no transposes
+                        mean = jnp.mean(x, axis=1, keepdims=True)
+                        var = jnp.var(x, axis=1, keepdims=True)
+                        x = (x - mean) * jax.lax.rsqrt(
+                            var + cfg.wav2vec.layer_norm_eps)
+                        x = x * lp["norm"]["scale"][None, :, None] \
+                            + lp["norm"]["bias"][None, :, None]
+                    x = nn.gelu_erf(x)
+                return jnp.sum(x)
+
+            print(f"  --- conv frontend detail ({mode}) ---")
+            prev = 0.0
+            for k in range(1, 8):
+                ms = timed(f"  conv prefix {k}",
+                           jax.jit(lambda p, a, k=k: prefix(p, a, k)),
+                           p, aud, iters=it)
+                print(f"    -> layer {k - 1} delta {ms - prev:8.2f} ms")
+                prev = ms
+            timed("  full frontend, no norms (gelu kept)",
+                  jax.jit(lambda p, a: prefix(p, a, 7, norm="none")),
+                  p, aud, iters=it)
+            timed("  full frontend, transpose-free chan-LN",
+                  jax.jit(lambda p, a: prefix(p, a, 7, norm="chanln")),
+                  p, aud, iters=it)
         print()
 
 

@@ -80,13 +80,12 @@ def main():
         zeros = jnp.zeros((n,), colors.dtype)
         table = jnp.concatenate([
             jnp.stack([comp["mx"], comp["my"], comp["ca"], comp["cb"],
-                       comp["cc"], op, zeros, zeros]),
+                       comp["cc"], op, comp["radius"], zeros]),
             colors.T,
         ], axis=0)[:, perm]
         if stop == "table":
             return jnp.sum(table)
-        radius_s = comp["radius"][perm]
-        tx, ty, valid = G._slot_validity(table[0], table[1], radius_s,
+        tx, ty, valid = G._slot_validity(table[0], table[1], table[6],
                                          table[5], size)
         tile_id = jnp.where(valid, (ty * tiles_x + tx).astype(jnp.int32),
                             num_tiles)
