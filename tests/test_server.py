@@ -21,11 +21,16 @@ from test_serving import CFG
 def _no_persistent_compile_cache():
     """Skip the persistent compile cache here -- see the twin fixture in
     test_serving.py (rare jaxlib segfaults in CPU-executable serialize/
-    deserialize, one of them from this module's HTTP handler thread)."""
+    deserialize, two of them from this module's HTTP handler thread).
+    The reset_cache() calls are load-bearing: without them the None dir is
+    ignored once an earlier module initialized the cache."""
+    from jax._src import compilation_cache as cc
     old = jax.config.jax_compilation_cache_dir
+    cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", None)
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
 
 
 @pytest.fixture(scope="module")

@@ -30,11 +30,22 @@ def _no_persistent_compile_cache():
     ``put_executable_and_time``/serialize from an HTTP handler thread).
     These modules compile the largest CPU executables in the suite; skip the
     persistent cache for them -- a slightly slower warm run beats a 30-minute
-    suite rerun on a segfault."""
+    suite rerun on a segfault.
+
+    Setting the cache dir to None is NOT enough: jax's
+    ``compilation_cache._get_cache`` initializes its module-global ``_cache``
+    at most once, so once any earlier test module compiled with the cache
+    enabled, the dir update is ignored (observed: a fourth segfault in
+    ``put_executable_and_time`` from test_server.py's HTTP handler thread
+    with this fixture active but without the reset). ``reset_cache()`` drops
+    the initialized object so the None dir actually takes effect."""
+    from jax._src import compilation_cache as cc
     old = jax.config.jax_compilation_cache_dir
+    cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", None)
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()  # re-init lazily with the restored dir
 
 
 @pytest.fixture(scope="module")
