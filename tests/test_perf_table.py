@@ -46,6 +46,21 @@ def test_check_mode_flags_stale_readme(tmp_path):
     assert not upt.update_readme(str(tmp_path), check=True)  # now current
 
 
+def test_check_ignores_rounds_newer_than_readme(tmp_path):
+    """A driver-dropped BENCH_r{N+1}.json must not flag the committed README
+    (the start-of-round race that failed the suite every round through r03)."""
+    _write_bench(tmp_path, 1, {"value": 8000.0})
+    readme = tmp_path / "README.md"
+    readme.write_text(f"# x\n\n{upt.START}\nstale\n{upt.END}\n")
+    upt.update_readme(str(tmp_path), check=False)  # README now covers r01
+    _write_bench(tmp_path, 2, {"value": 9000.0})   # driver drop, post-commit
+    assert not upt.update_readme(str(tmp_path), check=True)
+    # a rewrite (non-check) does pick the new round up
+    assert upt.update_readme(str(tmp_path), check=False)
+    assert "9,000" in readme.read_text()
+    assert not upt.update_readme(str(tmp_path), check=True)
+
+
 def test_repo_readme_matches_bench_history():
     """The committed README must agree with the committed BENCH history."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
