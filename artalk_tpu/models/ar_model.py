@@ -404,9 +404,15 @@ class BitwiseARModel:
         fused_pack = None
         if (self.cfg.fused_ar and self.cfg.ar.audio_encoder == "wav2vec"
                 and self.cfg.wav2vec.do_stable_layer_norm):
-            fused_pack = params.get("fused_audio_pack")
-            if fused_pack is None:
-                fused_pack = self.pack_fused_audio(params)
+            # f32 packs (the "fusedx" parity mode) only run fused at batch 1
+            # (encoder_block_stack.pack_batched_ok); skip the lookup/build
+            # entirely at larger batches so the 24-layer tile repack is never
+            # traced as dead work the encoder would ignore.
+            f32_pack = not (self.cfg.bf16_audio or self.cfg.int8_ar)
+            if audio_chunk.shape[0] == 1 or not f32_pack:
+                fused_pack = params.get("fused_audio_pack")
+                if fused_pack is None:
+                    fused_pack = self.pack_fused_audio(params)
         if fused_pack is not None:
             feat = self.audio_encoder(enc_params, audio_chunk,
                                       fused_pack=fused_pack)

@@ -15,6 +15,7 @@ transfer happens once per clip chunk (vs the reference's per-frame .cpu()).
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Dict, Optional
 
@@ -78,8 +79,14 @@ def _select_budget(neutral_count: int, n_gaussians: int,
     Poses move only the 5 023 head gaussians plus the camera, so the
     neutral-pose instance count is a good predictor; 1.4x headroom absorbs
     pose-driven growth. Falls back to the env override / worst-case default
-    semantics of ``_instance_budget``. Counts beyond the largest bucket keep
-    the largest (the overflow warning covers that case).
+    semantics of ``_instance_budget``. Counts beyond the largest bucket
+    ESCALATE to ceil(need / n_gaussians) instances/gaussian rather than
+    clamping: the CUDA reference rasterizer
+    (GAGAvatar/utils_renderer.py:10-47) is exact by construction (dynamic
+    instance lists), so ours must be exact-or-explicit — a silently clamped
+    budget would drop far gaussians of the bottom image rows. The jit cache
+    is keyed by budget, so an off-bucket avatar costs one extra compile, not
+    a recompile per frame.
     """
     env = os.environ.get("ARTALK_GSPLAT_MAX_INSTANCES")
     if env is not None:
@@ -88,7 +95,7 @@ def _select_budget(neutral_count: int, n_gaussians: int,
     for per_g in BUDGET_BUCKETS:
         if per_g * n_gaussians >= need:
             return per_g * n_gaussians
-    return BUDGET_BUCKETS[-1] * n_gaussians
+    return int(math.ceil(need / n_gaussians)) * n_gaussians
 
 
 def prep_frame_chunk(flame_model, shapecode, base_transform, motions_k,

@@ -188,9 +188,10 @@ class Wav2VecEncoder:
         x = x + self._pos_conv_embed(params, x)
         if not cfg.do_stable_layer_norm:
             x = nn.layer_norm_apply(params["encoder"]["final_norm"], x, eps=eps)
+        from ..ops.encoder_block_stack import pack_batched_ok
+
         if (fused_pack is not None and cfg.do_stable_layer_norm
-                and (x.shape[0] == 1
-                     or fused_pack["wtiles"].dtype != jnp.float32)):
+                and (x.shape[0] == 1 or pack_batched_ok(fused_pack))):
             from ..ops.encoder_block_stack import encoder_block_stack
 
             def run_window(xi):

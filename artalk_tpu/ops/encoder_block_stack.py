@@ -145,6 +145,21 @@ def pack_encoder_weights(layers, dtype=jnp.float32,
     return pack
 
 
+def pack_batched_ok(pack) -> bool:
+    """Routing rule, stated once: may this pack be ``lax.map``-ed over a
+    batch of windows (the offline batched-windows encode)?
+
+    bf16/int8 packs stream full-width tiles and measured FASTER mapped
+    per-window than the weight-amortizing XLA scan
+    (tools/exp_encoder_batched_fused.py); f32 packs use half-width
+    HIGHEST-precision tiles -- a parity artifact, not a perf path -- so
+    callers must keep the XLA scan at batch > 1. Keyed off the tile dtype
+    because that is exactly what forces the half-width layout; a future
+    f32-but-full-width pack should flip this rule explicitly here.
+    """
+    return pack["wtiles"].dtype != jnp.float32
+
+
 def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
             x_s, xm_s, q_s, k_s, v_s, at_s, h1_s, ac_s, *,
             plan, depth: int, d: int, tw: int, num_heads: int, pn: int,

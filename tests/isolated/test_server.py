@@ -17,20 +17,9 @@ from artalk_tpu.server import MotionServer
 from test_serving import CFG
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Skip the persistent compile cache here -- see the twin fixture in
-    test_serving.py (rare jaxlib segfaults in CPU-executable serialize/
-    deserialize, two of them from this module's HTTP handler thread).
-    The reset_cache() calls are load-bearing: without them the None dir is
-    ignored once an earlier module initialized the cache."""
-    from jax._src import compilation_cache as cc
-    old = jax.config.jax_compilation_cache_dir
-    cc.reset_cache()
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
-    cc.reset_cache()
+from conftest import no_persistent_compile_cache_fixture
+
+_no_persistent_compile_cache = no_persistent_compile_cache_fixture()
 
 
 @pytest.fixture(scope="module")

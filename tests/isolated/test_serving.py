@@ -21,31 +21,9 @@ CFG = ModelConfig(
         num_conv_pos_embedding_groups=4))
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """jaxlib's CPU-executable (de)serialization very rarely segfaults the
-    whole pytest process inside the persistent compile cache (three observed
-    crashes, all in this module or test_server.py: two in
-    ``get_executable_and_time``/deserialize, one in
-    ``put_executable_and_time``/serialize from an HTTP handler thread).
-    These modules compile the largest CPU executables in the suite; skip the
-    persistent cache for them -- a slightly slower warm run beats a 30-minute
-    suite rerun on a segfault.
+from conftest import no_persistent_compile_cache_fixture
 
-    Setting the cache dir to None is NOT enough: jax's
-    ``compilation_cache._get_cache`` initializes its module-global ``_cache``
-    at most once, so once any earlier test module compiled with the cache
-    enabled, the dir update is ignored (observed: a fourth segfault in
-    ``put_executable_and_time`` from test_server.py's HTTP handler thread
-    with this fixture active but without the reset). ``reset_cache()`` drops
-    the initialized object so the None dir actually takes effect."""
-    from jax._src import compilation_cache as cc
-    old = jax.config.jax_compilation_cache_dir
-    cc.reset_cache()
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
-    cc.reset_cache()  # re-init lazily with the restored dir
+_no_persistent_compile_cache = no_persistent_compile_cache_fixture()
 
 
 @pytest.fixture(scope="module")

@@ -313,8 +313,13 @@ def test_select_budget_buckets(monkeypatch):
     assert _select_budget(170_000, n) == 3 * n
     # small scene -> smallest bucket
     assert _select_budget(50_000, n) == 2 * n
-    # saturating scene (synthetic avatars) -> capped at the largest bucket
-    assert _select_budget(900_000, n) == BUDGET_BUCKETS[-1] * n
+    # saturating scene (synthetic avatars) -> ESCALATES past the largest
+    # bucket instead of clamping (ceil(1.4 * 900k / 100k) = 13/gaussian),
+    # so the budgeted gather never silently drops splats
+    assert _select_budget(900_000, n) == 13 * n
+    assert _select_budget(900_000, n) > BUDGET_BUCKETS[-1] * n
+    # just past the largest bucket: smallest escalated integer bucket
+    assert _select_budget(300_000, n) == 5 * n
     # env override wins; 0 = exact/unbudgeted
     monkeypatch.setenv("ARTALK_GSPLAT_MAX_INSTANCES", "123456")
     assert _select_budget(170_000, n) == 123456
