@@ -33,6 +33,13 @@ PCM with ``Content-Type: application/octet-stream``, or ``{"pcm": [...]}``):
 - ``POST /v1/motion``                PCM, any length -> smoothed offline
                                      motion, ``engine.inference`` parity
                                      (savgol + zeroed eye rows)
+- ``POST /v1/video[?shape_id=mesh]`` PCM, any length -> rendered talking-head
+                                     VIDEO bytes (the reference UX,
+                                     inference.py:119-125): offline inference
+                                     -> ``engine.rendering`` -> mp4 when an
+                                     encoder exists, Y4M / npz fallback
+                                     otherwise (format in ``X-Video-Format``,
+                                     server-side path in ``X-Video-Path``)
 
 Run: ``python -m artalk_tpu.server [--port 8042] [--sessions 8]``.
 """
@@ -168,6 +175,17 @@ class MotionServer:
         """Offline decode with ``engine.inference`` parity (smoothed)."""
         return np.asarray(self.engine.inference(audio))
 
+    def render_video(self, audio: np.ndarray, shape_id: str = "mesh") -> str:
+        """Offline inference + full render; returns the written video path
+        (mp4, or the image's Y4M/npz fallback -- see utils/video.write_video).
+        The mesh path needs no avatar assets, matching the reference's default
+        UX of returning a rendered clip (inference.py:119-125)."""
+        import uuid
+
+        motion = self.one_shot(audio)
+        return self.engine.rendering(audio, motion, shape_id=shape_id,
+                                     save_name=f"http_{uuid.uuid4().hex[:8]}")
+
     def health(self) -> dict:
         import jax
 
@@ -242,7 +260,10 @@ class MotionServer:
                 return self._err(404, f"no route {self.path}")
 
             def do_POST(self):
-                parts = [p for p in self.path.split("/") if p]
+                from urllib.parse import parse_qs, urlparse
+
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
                 if parts == ["v1", "sessions"]:
                     return self._open()
                 if (len(parts) == 4 and parts[:2] == ["v1", "sessions"]
@@ -250,6 +271,9 @@ class MotionServer:
                     return self._chunk(parts[2])
                 if parts == ["v1", "motion"]:
                     return self._one_shot()
+                if parts == ["v1", "video"]:
+                    query = parse_qs(url.query)
+                    return self._video(query.get("shape_id", ["mesh"])[0])
                 return self._err(404, f"no route {self.path}")
 
             def do_DELETE(self):
@@ -309,6 +333,33 @@ class MotionServer:
                 motion = server.one_shot(pcm)
                 return self._json(200, {"frames": int(motion.shape[0]),
                                         "motion": motion.tolist()})
+
+            VIDEO_TYPES = {".mp4": "video/mp4", ".y4m": "video/x-yuv4mpeg",
+                           ".npz": "application/octet-stream"}
+
+            def _video(self, shape_id: str):
+                import os
+
+                pcm = self._read_pcm()
+                if len(pcm) == 0:
+                    return self._err(400, "empty audio")
+                try:
+                    path = server.render_video(pcm, shape_id=shape_id)
+                except RuntimeError as exc:  # e.g. avatar id without GAGA
+                    return self._err(400, str(exc))
+                ext = os.path.splitext(path)[1]
+                with open(path, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", self.VIDEO_TYPES.get(
+                    ext, "application/octet-stream"))
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Disposition",
+                                 f'attachment; filename="{os.path.basename(path)}"')
+                self.send_header("X-Video-Format", ext.lstrip("."))
+                self.send_header("X-Video-Path", path)
+                self.end_headers()
+                self.wfile.write(body)
 
         return Handler
 

@@ -11,6 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from artalk_tpu.config import ARConfig, ModelConfig, VAEConfig
 from artalk_tpu.engine import ARTAvatarInferEngine
 from artalk_tpu.server import MotionServer
 
@@ -23,8 +24,10 @@ _no_persistent_compile_cache = no_persistent_compile_cache_fixture()
 
 
 @pytest.fixture(scope="module")
-def served():
-    engine = ARTAvatarInferEngine(load_gaga=False, config=CFG, seed=0)
+def served(tmp_path_factory):
+    engine = ARTAvatarInferEngine(
+        load_gaga=False, config=CFG, seed=0, image_size=128, interpret=True,
+        output_dir=str(tmp_path_factory.mktemp("render")))
     server = MotionServer(engine=engine, capacity=2, max_sessions=4,
                           tick_ms=30.0)
     port = server.start(port=0)
@@ -183,6 +186,73 @@ def test_one_shot_matches_engine_inference(served):
     want = np.asarray(engine.inference(audio))
     assert body["frames"] == want.shape[0]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _req_raw(url, data):
+    """POST returning (status, headers, raw bytes) -- for the video route."""
+    req = urllib.request.Request(url, data=data, method="POST")
+    req.add_header("Content-Type", "application/octet-stream")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+@pytest.fixture(scope="module")
+def served_render(tmp_path_factory):
+    """A server whose model is render-capable (motion_dim=106 feeds FLAME);
+    the shared `served` fixture uses motion_dim=12, which can stream motion
+    but cannot drive the mesh renderer."""
+    from artalk_tpu.utils.assets import save_flame_npz, synthetic_flame
+
+    assets = tmp_path_factory.mktemp("assets_render")
+    save_flame_npz(synthetic_flame(num_verts=400, num_faces=512, seed=2),
+                   str(assets / "flame_synthetic.npz"))
+    cfg = ModelConfig(
+        ar=ARConfig(depth=2, num_heads=4, embed_dim=64, style_dim=16,
+                    audio_dim=32),
+        vae=VAEConfig(motion_dim=106, code_dim=8, depth=2, num_heads=4,
+                      hidden_dim=32, patch_nums=(1, 2, 4)),
+        wav2vec=CFG.wav2vec)
+    engine = ARTAvatarInferEngine(
+        load_gaga=False, config=cfg, seed=0, image_size=128, interpret=True,
+        assets_dir=str(assets),
+        output_dir=str(tmp_path_factory.mktemp("render_http")))
+    server = MotionServer(engine=engine, capacity=1, tick_ms=30.0)
+    port = server.start(port=0)
+    yield server, engine, f"http://127.0.0.1:{port}"
+    server.close()
+
+
+def test_video_returns_playable_file(served_render):
+    """POST /v1/video: audio in, rendered talking-head video bytes out (the
+    reference UX, inference.py:119-125). This image has no av/ffmpeg, so the
+    writer falls back to Y4M (or npz); assert the advertised format's magic
+    and that the server-side file exists with the same bytes."""
+    server, engine, base = served_render
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(8000).astype(np.float32) * 0.1  # 0.5 s
+    code, headers, body = _req_raw(f"{base}/v1/video", audio.tobytes())
+    assert code == 200
+    fmt = headers["X-Video-Format"]
+    assert fmt in ("mp4", "y4m", "npz")
+    assert len(body) > 0
+    if fmt == "y4m":
+        assert body.startswith(b"YUV4MPEG2")
+        assert headers["Content-Type"] == "video/x-yuv4mpeg"
+    path = headers["X-Video-Path"]
+    with open(path, "rb") as f:
+        assert f.read() == body
+    # 0.5 s at 25 fps -> 13 frames of 128x128 yuv420 (y4m: 6 header-ish
+    # bytes per frame marker + 1.5 bytes/px); just sanity-check the scale
+    if fmt == "y4m":
+        assert len(body) > 13 * 128 * 128  # more than 13 Y planes
+
+    # an avatar shape_id without GAGA loaded maps to a clear 400
+    try:
+        _req_raw(f"{base}/v1/video?shape_id=someone.jpg", audio.tobytes())
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "GAGAvatar" in json.loads(e.read().decode())["error"]
 
 
 def test_json_pcm_and_bad_routes(served):
