@@ -237,12 +237,15 @@ def bench_gaga():
         return _device_ms(call, n=6) / k
 
     ms_default = timed(fn)
-    # Trained-avatar bucket: the auto-budgeter (avatar._select_budget) puts
-    # real checkpoints (measured ~1.7 instances/gaussian) in the 3/gaussian
-    # bucket; force that budget to time the frame a trained avatar gets.
-    # (The saturating synthetic avatar drops geometry under this budget --
-    # valid for timing, not for pixels.)
-    gaga._budget = 3 * int(gaga._gs_params["xyz"].shape[1])
+    # Trained-avatar bucket: feed the auto-budgeter (avatar._select_budget)
+    # the measured trained-checkpoint workload (~1.7 instances/gaussian) so
+    # this key times the frame a real avatar gets under whatever bucket the
+    # production selector assigns it. (The saturating synthetic avatar drops
+    # geometry under this budget -- valid for timing, not for pixels.)
+    from artalk_tpu.models.gagavatar.avatar import _select_budget
+
+    n_gauss = int(gaga._gs_params["xyz"].shape[1])
+    gaga._budget = _select_budget(int(1.7 * n_gauss), n_gauss)
     ms_trained = timed(gaga._get_chunk_fn(flame, "yuv420"))
     return ms_default, ms_trained
 

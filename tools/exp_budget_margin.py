@@ -1,0 +1,96 @@
+"""Measure pose-driven instance-count variation on the bench GAGA scene.
+
+The per-avatar instance budget (avatar._select_budget) adds headroom on top
+of the measured neutral-pose count to absorb pose-driven growth (head
+rotation moves every gaussian relative to the camera; expressions move the
+5 023 head gaussians). The headroom factor directly scales the dominant
+prepass gather, so it should come from data, not caution: this experiment
+drives the synthetic bench avatar (the instance-budget worst case,
+bench.py bench_gaga) through N random motion frames drawn from the same
+distribution the bench uses (normal, sigma 0.3 -- exaggerated vs real ARTalk
+tracks) and records the max per-frame valid-instance count relative to
+neutral.
+
+Result (v5e, 2026-08-19, N=200):
+    neutral count   878,436
+    max over poses  880,008   (1.0018x neutral)
+    p99 875,686   mean 835,684   min 785,419
+So even exaggerated random poses move the count +0.18% at worst (poses
+mostly SHRINK it -- rotations push gaussians off-screen). The old 1.4x
+headroom was ~220x larger than the observed excursion; avatar._select_budget
+now uses 1.1x (still ~55x the observed excursion), and escalated budgets
+round to GCHUNK multiples instead of whole instances-per-gaussian steps
+(878k neutral: 1.26M -> 967k budget columns, ~-0.9 ms of prepass gather).
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artalk_tpu.models.flame import FlameModel
+from artalk_tpu.models.gagavatar.avatar import (
+    CAM_PARAMS, FOREHEAD_INDICES, NUM_FLAME_VERTS, GAGAvatar, prep_frame_chunk)
+from artalk_tpu.ops.gsplat import count_valid_instances
+from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+
+def main(n_frames: int = 200, chunk: int = 25):
+    flame_data = load_or_synthesize_flame("assets")
+    flame = FlameModel(flame_data, n_shape=300, n_exp=100, scale=5.0)
+    gaga = GAGAvatar(assets_dir="assets")
+    gaga.set_avatar_id(sorted(gaga.all_gagavatar_id)[0])
+    gaga._build_gs_params()
+    gs = gaga._gs_params
+    shapecode = gaga._feature_cache["shapecode"]
+    base = gaga._feature_cache["transform"]
+
+    @jax.jit
+    def counts_for_chunk(motions_k, carry, is_first):
+        t_points, cams, carry = prep_frame_chunk(
+            flame, shapecode, base, motions_k, carry, is_first,
+            jnp.int32(motions_k.shape[0]))
+
+        def one(motion_frame):
+            t_p, cam = motion_frame
+            xyz = gs["xyz"].at[:, :NUM_FLAME_VERTS].set(t_p[None])
+            return count_valid_instances(
+                xyz[0], gs["opacities"][0], gs["scales"][0],
+                gs["rotations"][0], cam,
+                focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"])
+
+        return jax.lax.map(one, (t_points, cams)), carry
+
+    rng = np.random.default_rng(5)  # same seed family as bench_gaga
+    carry = jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
+    counts = []
+    for i in range(n_frames // chunk):
+        motions = jnp.asarray(
+            rng.normal(0, 0.3, (chunk, 106)).astype(np.float32))
+        c, carry = counts_for_chunk(motions, carry, jnp.float32(i == 0))
+        counts.append(np.asarray(c))
+    counts = np.concatenate(counts)
+
+    from artalk_tpu.models.gagavatar.generators import transform_emoca_to_p3d
+
+    neutral_cam = jnp.concatenate([
+        transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
+        base[:, 3:4]], axis=-1)
+    neutral = int(count_valid_instances(
+        gs["xyz"].at[:, :NUM_FLAME_VERTS].set(
+            flame(shapecode, jnp.zeros((1, 100)), jnp.zeros((1, 6))))[0],
+        gs["opacities"][0], gs["scales"][0], gs["rotations"][0], neutral_cam,
+        focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+
+    print(f"neutral count: {neutral}")
+    print(f"driven frames: n={len(counts)} min={counts.min()} "
+          f"mean={counts.mean():.0f} p99={np.percentile(counts, 99):.0f} "
+          f"max={counts.max()}")
+    print(f"max / neutral = {counts.max() / neutral:.4f}")
+
+
+if __name__ == "__main__":
+    main()
