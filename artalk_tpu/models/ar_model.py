@@ -255,11 +255,13 @@ class BitwiseARModel:
 
     def _run_level_fused(self, pack: nn.Params, tokens: jnp.ndarray,
                          ada: jnp.ndarray,
-                         caches: Tuple[jnp.ndarray, jnp.ndarray], level: int
+                         caches: Tuple[jnp.ndarray, jnp.ndarray], level: int,
+                         batch_tile: int | None = None
                          ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Fused-kernel counterpart of ``_run_level``: one pallas_call runs
         the level through all blocks (weights streamed HBM->VMEM, activations
-        VMEM-resident). Opt-in via ``cfg.fused_ar``; parity-tested to atol
+        VMEM-resident; batches beyond 2 rows tile the batch as the outer
+        grid dimension). Opt-in via ``cfg.fused_ar``; parity-tested to atol
         against ``_run_level``, not bit-pinned."""
         from ..ops.ar_block_stack import ar_block_stack
 
@@ -269,7 +271,8 @@ class BitwiseARModel:
         feats, k_new, v_new = ar_block_stack(
             tokens, ada, pack["wtiles"], pack["biases"], k_cache, v_cache,
             pack.get("scales"), start=start, num_heads=self.num_heads,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            batch_tile=batch_tile)
         k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, start,
                                                       axis=2)
         v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, start,
@@ -455,11 +458,17 @@ class BitwiseARModel:
             blocks, w_qkv, b_qkv, scale_mul, ada_full = (
                 cast(t) for t in (blocks, w_qkv, b_qkv, scale_mul, ada_full))
             prev_feat = prev_feat.astype(jnp.bfloat16)
-        # The fused kernel keeps B*pn_pad activation rows in VMEM scratch;
-        # beyond ~2 batch rows the 100-token level overruns the ~16MB budget,
-        # so large-batch decodes (the serving StreamPool) silently keep the
-        # XLA scan path.
-        use_fused = self.cfg.fused_ar and b <= 2
+        # The fused kernel keeps batch_tile*pn_pad activation rows in VMEM
+        # scratch; beyond ~2 rows the 100-token level overruns the ~16MB
+        # budget, so larger batches (the serving StreamPool) run the SAME
+        # kernel tiled over the batch as the outer grid dimension
+        # (ops/ar_block_stack.py batch_tile): weights re-stream once per
+        # 2-row tile, which measures far below the XLA scan's activation
+        # round-trips (tools/bench_streampool.py). f32 packs (the "fusedx"
+        # parity mode) stay on the XLA scan at b > 2 -- parity coverage
+        # doesn't need large batches and f32 tiles halve to TW=d/2.
+        f32_pack = not (self.cfg.bf16_ar or self.cfg.int8_ar)
+        use_fused = self.cfg.fused_ar and (b <= 2 or not f32_pack)
         if use_fused:
             pack = params.get("fused_pack")
             if pack is None:
@@ -475,9 +484,15 @@ class BitwiseARModel:
         for level, pn in enumerate(self.patch_nums):
             off = self.offsets[level]
             if use_fused:
+                # Per-level batch tile: scratch scales with batch_tile *
+                # pn_pad, so big batches run 2 rows per grid step at the
+                # short levels and drop to 1 row at the 100-token level
+                # (2 rows there measured 17.3 MB > the 16 MB VMEM budget).
+                batch_tile = None if b <= 2 else (2 if pn <= 64 else 1)
                 feats, caches = self._run_level_fused(
                     pack, tokens.astype(compute_dtype),
-                    ada_full[:, :, off : off + pn], caches, level)
+                    ada_full[:, :, off : off + pn], caches, level,
+                    batch_tile=batch_tile)
             else:
                 feats, caches = self._run_level(
                     blocks, tokens.astype(compute_dtype),

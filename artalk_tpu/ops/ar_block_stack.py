@@ -162,8 +162,10 @@ def _kernel(x_ref, ada_ref, w_ref, b_ref, sc_ref, kc_ref, vc_ref,
             plan, depth: int, d: int, tw: int, num_heads: int, start: int,
             pn: int, pn_pad: int, batch: int, f: int, precision,
             quantized: bool):
-    dblk = pl.program_id(0)
-    t = pl.program_id(1)
+    # grid = (batch tiles, depth, tiles); every ref below is already the
+    # current batch tile's block, so the kernel body never sees bb.
+    dblk = pl.program_id(1)
+    t = pl.program_id(2)
     rows = batch * pn_pad
     hd = d // num_heads
     cache_len = kc_ref.shape[2]
@@ -274,12 +276,12 @@ def _kernel(x_ref, ada_ref, w_ref, b_ref, sc_ref, kc_ref, vc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("start", "num_heads",
-                                             "interpret"))
+                                             "interpret", "batch_tile"))
 def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
                    biases: jnp.ndarray, k_cache: jnp.ndarray,
                    v_cache: jnp.ndarray, scales: jnp.ndarray | None = None,
                    *, start: int, num_heads: int,
-                   interpret: bool = False
+                   interpret: bool = False, batch_tile: int | None = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run one level's tokens through the whole block stack.
 
@@ -295,6 +297,14 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
                 required iff ``wtiles`` is int8 (weight-only quantization;
                 compute runs bf16, scales fold into the f32 tile results).
       start:    level token offset in the cache (prev_len + level offset).
+      batch_tile: rows of B processed per batch-grid step. The activation
+                scratch scales with ``batch_tile * pn_pad``, so large
+                batches (the serving StreamPool) tile the batch as the
+                OUTER grid dimension: weights re-stream once per tile
+                (B/batch_tile times total), which is still far cheaper
+                than the XLA scan's activation round-trips -- measured in
+                tools/bench_streampool.py. None = single tile of the whole
+                batch (the B<=2 engine paths).
 
     Returns (feats (B, pn, d) f32, k_new (depth, B, pn, d), v_new (depth,
     B, pn, d)) -- k_new is L2-normalized, both in the cache dtype; the
@@ -319,6 +329,14 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         ada = jnp.pad(ada, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bt = b if batch_tile is None else min(batch_tile, b)
+    bpad = (-b) % bt
+    if bpad:  # pad B to a tile multiple; zero rows are numerically inert
+        x = jnp.pad(x, ((0, bpad), (0, 0), (0, 0)))
+        ada = jnp.pad(ada, ((0, 0), (0, bpad), (0, 0), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, bpad), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, bpad), (0, 0), (0, 0)))
+    nb = (b + bpad) // bt
     cache_len = k_cache.shape[2]
     cdt = wtiles.dtype
     odt = k_cache.dtype
@@ -326,36 +344,37 @@ def ar_block_stack(x: jnp.ndarray, ada: jnp.ndarray, wtiles: jnp.ndarray,
 
     kernel = functools.partial(
         _kernel, plan=plan, depth=depth, d=d, tw=tw, num_heads=num_heads,
-        start=start, pn=pn, pn_pad=pn_pad, batch=b, f=f, precision=precision,
+        start=start, pn=pn, pn_pad=pn_pad, batch=bt, f=f, precision=precision,
         quantized=quantized)
-    rows = b * pn_pad
+    rows = bt * pn_pad
     feats, k_new, v_new = pl.pallas_call(
         kernel,
-        grid=(depth, nt),
+        grid=(nb, depth, nt),
         in_specs=[
-            pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
-            pl.BlockSpec((1, b, pn_pad, 6 * d), lambda i, t: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, d, tw), lambda i, t: (i, t, 0, 0)),
-            pl.BlockSpec((1, biases.shape[1], d), lambda i, t: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1, d), lambda i, t: (i, t, 0, 0)),
-            pl.BlockSpec((1, b, cache_len, d), lambda i, t: (i, 0, 0, 0)),
-            pl.BlockSpec((1, b, cache_len, d), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((bt, pn_pad, d), lambda bb, i, t: (bb, 0, 0)),
+            pl.BlockSpec((1, bt, pn_pad, 6 * d),
+                         lambda bb, i, t: (i, bb, 0, 0)),
+            pl.BlockSpec((1, 1, d, tw), lambda bb, i, t: (i, t, 0, 0)),
+            pl.BlockSpec((1, biases.shape[1], d), lambda bb, i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, d), lambda bb, i, t: (i, t, 0, 0)),
+            pl.BlockSpec((1, bt, cache_len, d), lambda bb, i, t: (i, bb, 0, 0)),
+            pl.BlockSpec((1, bt, cache_len, d), lambda bb, i, t: (i, bb, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
-            pl.BlockSpec((1, b, pn_pad, d), lambda i, t: (i, 0, 0, 0)),
-            pl.BlockSpec((1, b, pn_pad, d), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((bt, pn_pad, d), lambda bb, i, t: (bb, 0, 0)),
+            pl.BlockSpec((1, bt, pn_pad, d), lambda bb, i, t: (i, bb, 0, 0)),
+            pl.BlockSpec((1, bt, pn_pad, d), lambda bb, i, t: (i, bb, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, pn_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((depth, b, pn_pad, d), odt),
-            jax.ShapeDtypeStruct((depth, b, pn_pad, d), odt),
+            jax.ShapeDtypeStruct((b + bpad, pn_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((depth, b + bpad, pn_pad, d), odt),
+            jax.ShapeDtypeStruct((depth, b + bpad, pn_pad, d), odt),
         ],
         scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)] * 6
         + [pltpu.VMEM((rows, tw), jnp.float32),
            pltpu.VMEM((rows, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(x, ada, wtiles, biases, scales4, k_cache, v_cache)
-    return feats[:, :pn], k_new[:, :, :pn], v_new[:, :, :pn]
+    return feats[:b, :pn], k_new[:, :b, :pn], v_new[:, :b, :pn]

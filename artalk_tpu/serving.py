@@ -11,19 +11,24 @@ session's rows of the batched :class:`WindowState` and style table.
 Why batching is the right TPU shape: the window step is dominated by small
 matmuls (768-d AR blocks, 512-d VAE) that leave the MXU mostly idle at B=1.
 Measured scaling curve on a v5e (tools/bench_streampool.py, pipelined
-device timing, round 3):
+device timing; exact = round-3 default XLA scan, int8 = round-4
+ARTALK_AR_PRECISION=int8 routing the pool through the BATCH-TILED fused
+weight-streaming kernel, ops/ar_block_stack.py batch_tile):
 
-    B=1   14.16 ms/tick   14.16 ms/session-window    ~282 RT streams
-    B=2   17.19            8.60                      ~465
-    B=4   23.73            5.93                      ~674
-    B=8   35.60            4.45                      ~899
-    B=16  63.46            3.97                     ~1008
-    B=32 124.14            3.88                     ~1031
+            exact (f32 XLA scan)             int8 fused (batch-tiled)
+    B=1   14.16 ms/sw    ~282 RT streams     8.58 ms/sw    ~466
+    B=2    8.60          ~465                4.10          ~976
+    B=4    5.93          ~674                3.48         ~1149
+    B=8    4.45          ~899                2.97         ~1348
+    B=16   3.97         ~1008                2.79         ~1436
+    B=32   3.88         ~1031                2.72         ~1473
 
-The efficiency knee is B=16 (B=32 adds only ~2% throughput for 2x tick
-latency); every point keeps per-window latency far inside the 200 ms budget
-(BASELINE.md) at the 4-second window cadence. Grow capacity ahead of load
-with :meth:`StreamPool.grow` (one recompile per new batch shape).
+(bf16 "fast" at B=8: 4.26 ms/sw -- the serving knee is weight-bandwidth
+bound at 2-row batch tiles, so halving streamed bytes again with int8 is
+what moves it.) The efficiency knee is B=8-16; every point keeps per-window
+latency far inside the 200 ms budget (BASELINE.md) at the 4-second window
+cadence. Grow capacity ahead of load with :meth:`StreamPool.grow` (one
+recompile per new batch shape).
 
 Usage::
 
@@ -56,9 +61,19 @@ class StreamPool:
     def __init__(self, model: BitwiseARModel, params: nn.Params,
                  max_sessions: int = 4):
         self.model = model
+        cfg = model.cfg
+        if cfg.fused_ar and "fused_pack" not in params:
+            # pack the tile-stream weights once (not per jitted pool step);
+            # the batched window step routes through the batch-tiled fused
+            # kernel (ops/ar_block_stack.py batch_tile)
+            params = dict(params,
+                          fused_pack=model.pack_fused_decode(params))
+        if cfg.fused_ar and "fused_audio_pack" not in params:
+            audio_pack = model.pack_fused_audio(params)
+            if audio_pack is not None:
+                params = dict(params, fused_audio_pack=audio_pack)
         self.params = params
         self.capacity = int(max_sessions)
-        cfg = model.cfg
 
         null = model.encode_style(params, None)              # (1, 1, d)
         self._null_style = null

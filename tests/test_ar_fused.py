@@ -139,6 +139,49 @@ def test_fused_bf16_decode_agrees():
     assert agree >= 0.97, f"bf16 fused decode bit agreement {agree}"
 
 
+def test_fused_decode_batch_tiled_serving():
+    """Serving-size batch (B=5, odd -> exercises the batch-pad row) routes
+    through the batch-tiled fused kernel (batch_tile=2, bf16 pack) and must
+    agree with the bf16 XLA scan path."""
+    cfg = dataclasses.replace(CFG, bf16_ar=True)
+    exact, fused, params = _models(cfg)
+    audio_cond, style_cond, prev_feat = _decode_inputs(
+        exact, params, jax.random.PRNGKey(7), batch=5)
+    bits_x = exact.decode_window(params, audio_cond, style_cond, prev_feat)
+    bits_f = fused.decode_window(params, audio_cond, style_cond, prev_feat)
+    assert bits_f.shape == bits_x.shape
+    agree = float(jnp.mean((bits_x == bits_f).astype(jnp.float32)))
+    assert agree >= 0.97, f"batch-tiled fused decode bit agreement {agree}"
+
+
+def test_block_stack_batch_tile_matches_single_pass():
+    """ar_block_stack(batch_tile=2) must reproduce the untiled kernel row
+    for row -- tiling only changes the grid walk, not the math."""
+    from artalk_tpu.ops.ar_block_stack import ar_block_stack
+
+    model = BitwiseARModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    pack = model.pack_fused_decode(params)
+    b, pn, d = 5, model.patch_nums[1], model.embed_dim
+    depth, cache_len = model.depth, model.cache_len
+    key = jax.random.PRNGKey(8)
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (b, pn, d)) * 0.3
+    ada = jax.random.normal(ks[1], (depth, b, pn, 6 * d)) * 0.1
+    kc = jax.random.normal(ks[2], (depth, b, cache_len, d)) * 0.2
+    vc = jax.random.normal(ks[3], (depth, b, cache_len, d)) * 0.2
+    start = model.prev_len + model.offsets[1]
+    args = dict(start=start, num_heads=model.num_heads, interpret=True)
+    ref = ar_block_stack(x, ada, pack["wtiles"], pack["biases"], kc, vc,
+                         **args)
+    tiled = ar_block_stack(x, ada, pack["wtiles"], pack["biases"], kc, vc,
+                           batch_tile=2, **args)
+    for r, t in zip(ref, tiled):
+        assert r.shape == t.shape
+        np.testing.assert_allclose(np.asarray(t), np.asarray(r),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_pack_shapes():
     from artalk_tpu.ops.ar_block_stack import pack_block_weights
 

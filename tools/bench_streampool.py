@@ -38,10 +38,20 @@ def main(argv=None):
     from artalk_tpu.models.ar_model import BitwiseARModel
     from artalk_tpu.serving import StreamPool
 
-    cfg = ModelConfig()
+    from artalk_tpu.engine import _resolve_ar_precision
+
+    # honor ARTALK_AR_PRECISION (exact/fast/int8) exactly like the serving
+    # entrypoint does, so the curve measures the production pool config
+    cfg = _resolve_ar_precision(ModelConfig())
     model = BitwiseARModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    print(f"device: {jax.devices()[0]}")
+    if cfg.fused_ar:
+        params["fused_pack"] = model.pack_fused_decode(params)
+        audio_pack = model.pack_fused_audio(params)
+        if audio_pack is not None:
+            params["fused_audio_pack"] = audio_pack
+    print(f"device: {jax.devices()[0]}  precision="
+          f"{os.environ.get('ARTALK_AR_PRECISION', 'exact')}")
 
     rng = np.random.default_rng(0)
     window_s = cfg.vae.window / cfg.fps
