@@ -42,6 +42,14 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
   quantized fused kernels (ARTALK_AR_PRECISION=int8; per-output-channel
   symmetric scales, bf16 compute).
 
+Utilization keys: the motion/mesh/gsplat/gaga sections also emit
+``<section>_mfu`` / ``<section>_membw_frac`` / ``<section>_gflop_per_call``
+/ ``<section>_gb_per_call`` from XLA's compiled cost model against v5e
+single-chip peaks (197 TFLOP/s bf16, 819 GB/s HBM). These are LOWER bounds:
+Pallas custom-call interiors count as operand/output traffic with zero
+flops (see the comment at V5E_PEAK_FLOPS). They exist so "is this section
+structurally slow?" is answerable from the bench JSON alone.
+
 Set ARTALK_BENCH_SECTIONS=motion (comma list of
 {motion,stream,mesh,gsplat,batched,gaga,fast,fused,fusedx,fstream,int8}) to
 restrict sections (e.g. to bound compile time when iterating).
@@ -70,6 +78,41 @@ if _bad:
 
 from artalk_tpu.utils.timing import pipelined_ms as _device_ms  # noqa: E402
 
+# v5e single-chip peaks for the utilization keys: 197 TFLOP/s bf16 MXU,
+# 819 GB/s HBM. The flops/bytes come from XLA's compiled cost model
+# (Compiled.cost_analysis): Pallas custom-call interiors count as their
+# operand/output traffic with ZERO flops, and f32 matmuls are counted at
+# nominal flops though the MXU runs them as multiple bf16 passes -- so
+# *_mfu / *_membw_frac are LOWER bounds on hardware utilization, good for
+# "is this section structurally slow?" (the StyleUNet ~10 ms floor came
+# from exactly this accounting), not for cross-accelerator marketing.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_HBM = 819e9
+
+
+def _aot(jitf, *args):
+    """AOT-compile a jitted callable so the SAME executable serves the
+    timing loop and the cost analysis (a second trace would recompile
+    server-side, minutes over the dev tunnel)."""
+    return jitf.lower(*args).compile()
+
+
+def _util(compiled, ms_per_call: float) -> dict:
+    """MFU / HBM-fraction keys for one compiled program at a measured
+    per-call device time."""
+    ca = compiled.cost_analysis()
+    if not isinstance(ca, dict):  # older jax returns [dict]
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byt = float(ca.get("bytes accessed", 0.0))
+    sec = ms_per_call / 1e3
+    return {
+        "mfu": round(flops / sec / V5E_PEAK_FLOPS, 4),
+        "membw_frac": round(byt / sec / V5E_PEAK_HBM, 4),
+        "gflop_per_call": round(flops / 1e9, 2),
+        "gb_per_call": round(byt / 1e9, 3),
+    }
+
 
 def bench_motion(model, params):
     n_windows = 8  # 32 s clip = the default --clip_length 750 workload (padded)
@@ -83,11 +126,13 @@ def bench_motion(model, params):
     # (CLAUDE.md: a single dispatch->device_get cycle pays ~27 ms of
     # dev-tunnel RTT plus the 340 KB motion-track fetch at ~10-40 MB/s,
     # neither of which is chip time).
-    gen_sum = jax.jit(lambda p, c, s: jnp.sum(model.generate(p, c, s)))
-    jax.device_get(gen_sum(params, chunks, style_cond))  # compile + warmup
+    gen_sum = _aot(jax.jit(lambda p, c, s: jnp.sum(model.generate(p, c, s))),
+                   params, chunks, style_cond)
+    jax.device_get(gen_sum(params, chunks, style_cond))  # warmup
     ms = _device_ms(lambda i, prev: gen_sum(params, chunks, style_cond), n=7)
     total_frames = n_windows * model.cfg.vae.window
     fps = total_frames / (ms / 1000.0)
+    util = _util(gen_sum, ms)
 
     # E2E clip latency: ONE dispatch + the full motion-track fetch (the
     # number a caller waiting on a whole 32 s clip over this dev tunnel
@@ -101,7 +146,7 @@ def bench_motion(model, params):
         times.append(time.perf_counter() - t0)
     times.sort()
     e2e_ms = times[len(times) // 2] * 1000.0
-    return fps, e2e_ms, n_windows
+    return fps, e2e_ms, n_windows, util
 
 
 def bench_stream(model, params):
@@ -140,9 +185,10 @@ def bench_mesh():
     shape = jnp.zeros((frames, 300), jnp.float32)
     verts = flame.motion_to_verts(shape, motions, with_global=True)
 
-    f = jax.jit(lambda v: jnp.sum(renderer(v)))
-    jax.device_get(f(verts))  # compile
-    return _device_ms(lambda i, prev: f(verts), n=8) / frames
+    f = _aot(jax.jit(lambda v: jnp.sum(renderer(v))), verts)
+    jax.device_get(f(verts))  # warmup
+    ms_call = _device_ms(lambda i, prev: f(verts), n=8)
+    return ms_call / frames, _util(f, ms_call)
 
 
 def bench_gsplat():
@@ -167,10 +213,11 @@ def bench_gsplat():
     args = [jnp.asarray(a) for a in (xyz, colors, opac, scales, q, cam)]
 
     # same instance budget as the GAGAvatar frame path (avatar.py)
-    f = jax.jit(lambda *a: jnp.sum(rasterize_gaussians(
-        *a, focal=12.0, size=512, max_instances=4 * n)))
-    jax.device_get(f(*args))  # compile
-    return _device_ms(lambda i, prev: f(*args), n=10)
+    f = _aot(jax.jit(lambda *a: jnp.sum(rasterize_gaussians(
+        *a, focal=12.0, size=512, max_instances=4 * n))), *args)
+    jax.device_get(f(*args))  # warmup
+    ms = _device_ms(lambda i, prev: f(*args), n=10)
+    return ms, _util(f, ms)
 
 
 def bench_batched(model, params):
@@ -226,17 +273,18 @@ def bench_gaga():
     shapecode = gaga._feature_cache["shapecode"]
     base = gaga._feature_cache["transform"]
 
-    def timed(chunk_fn):
-        def call(i, prev):
-            frames, _ = chunk_fn(
-                gaga._gs_params, gaga.params["upsampler"], shapecode,
-                base, motions, carry, is_first, jnp.int32(k))
-            return jnp.sum(frames[:, ::64, ::64].astype(jnp.int32))
+    def timed(chunk_fn, want_util=False):
+        cargs = (gaga._gs_params, gaga.params["upsampler"], shapecode,
+                 base, motions, carry, is_first, jnp.int32(k))
+        jf = _aot(jax.jit(lambda *a: jnp.sum(
+            chunk_fn(*a)[0][:, ::64, ::64].astype(jnp.int32))), *cargs)
+        jax.device_get(jf(*cargs))  # warmup
+        ms_call = _device_ms(lambda i, prev: jf(*cargs), n=6)
+        if want_util:
+            return ms_call / k, _util(jf, ms_call)
+        return ms_call / k
 
-        jax.device_get(call(0, None))  # compile
-        return _device_ms(call, n=6) / k
-
-    ms_default = timed(fn)
+    ms_default, util = timed(fn, want_util=True)
     # Trained-avatar bucket: feed the auto-budgeter (avatar._select_budget)
     # the measured trained-checkpoint workload (~1.7 instances/gaussian) so
     # this key times the frame a real avatar gets under whatever bucket the
@@ -247,7 +295,7 @@ def bench_gaga():
     n_gauss = int(gaga._gs_params["xyz"].shape[1])
     gaga._budget = _select_budget(int(1.7 * n_gauss), n_gauss)
     ms_trained = timed(gaga._get_chunk_fn(flame, "yuv420"))
-    return ms_default, ms_trained
+    return ms_default, ms_trained, util
 
 
 def main():
@@ -273,25 +321,43 @@ def main():
             traceback.print_exc()
             out.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
 
+    def _record_util(prefix, util):
+        out[f"{prefix}_mfu"] = util["mfu"]
+        out[f"{prefix}_membw_frac"] = util["membw_frac"]
+        out[f"{prefix}_gflop_per_call"] = util["gflop_per_call"]
+        out[f"{prefix}_gb_per_call"] = util["gb_per_call"]
+
     def _motion():
-        fps, e2e_ms, n_windows = bench_motion(model, params)
+        fps, e2e_ms, n_windows, util = bench_motion(model, params)
         out.update(value=round(fps, 1), vs_baseline=round(fps / 500.0, 3),
                    real_time_factor=round(fps / cfg.fps, 2), windows=n_windows,
                    clip_e2e_latency_ms=round(e2e_ms, 1))
+        _record_util("motion", util)
 
     section("motion", _motion)
     section("stream", lambda: out.__setitem__(
         "stream_p50_ms", round(bench_stream(model, params), 1)))
-    section("mesh", lambda: out.__setitem__(
-        "mesh_ms_per_frame", round(bench_mesh(), 2)))
-    section("gsplat", lambda: out.__setitem__(
-        "gsplat_ms_per_frame", round(bench_gsplat(), 1)))
+
+    def _mesh():
+        ms, util = bench_mesh()
+        out["mesh_ms_per_frame"] = round(ms, 2)
+        _record_util("mesh", util)
+
+    section("mesh", _mesh)
+
+    def _gsplat():
+        ms, util = bench_gsplat()
+        out["gsplat_ms_per_frame"] = round(ms, 1)
+        _record_util("gsplat", util)
+
+    section("gsplat", _gsplat)
     section("batched", lambda: out.__setitem__(
         "batched6_frames_per_sec", round(bench_batched(model, params), 1)))
     def _gaga():
-        ms_default, ms_trained = bench_gaga()
+        ms_default, ms_trained, util = bench_gaga()
         out["gaga_ms_per_frame"] = round(ms_default, 1)
         out["gaga_trained_ms_per_frame"] = round(ms_trained, 1)
+        _record_util("gaga", util)
 
     section("gaga", _gaga)
 
@@ -300,7 +366,7 @@ def main():
 
         fast_model = BitwiseARModel(
             dataclasses.replace(cfg, bf16_audio=True, bf16_ar=True))
-        fps, _, _ = bench_motion(fast_model, params)  # same weights, bf16 trace
+        fps, _, _, _ = bench_motion(fast_model, params)  # same weights, bf16 trace
         out["motion_fast_frames_per_sec"] = round(fps, 1)
 
     section("fast", _fast)
@@ -319,7 +385,7 @@ def main():
 
     def _fused(key, **overrides):
         fused_model, packed = _fused_model(**overrides)
-        fps, _, _ = bench_motion(fused_model, packed)
+        fps, _, _, _ = bench_motion(fused_model, packed)
         out[key] = round(fps, 1)
 
     section("fused", lambda: _fused("motion_fused_frames_per_sec",
@@ -339,7 +405,7 @@ def main():
         # the streamed weight bytes again vs bf16; changes code bits
         int8_model, packed = _fused_model(bf16_audio=True, bf16_ar=True,
                                           int8_ar=True)
-        fps, _, _ = bench_motion(int8_model, packed)
+        fps, _, _, _ = bench_motion(int8_model, packed)
         out["motion_int8_frames_per_sec"] = round(fps, 1)
         out["stream_int8_p50_ms"] = round(bench_stream(int8_model, packed), 1)
 
