@@ -199,6 +199,7 @@ class GAGAvatar:
         # budget is a trace-time constant, so reusing an executable compiled
         # for another avatar's budget would silently mis-size the prepass
         self._budget: Optional[int] = None
+        self._slot_cap: Optional[int] = None
         self._frame_fns = {}
         self._chunk_fns = {}
         self._gs_compute_fn = None
@@ -243,6 +244,7 @@ class GAGAvatar:
         self._feature_cache = None
         self._upper_points = None
         self._budget = None  # re-selected on the next _build_gs_params
+        self._slot_cap = None
 
     # ------------------------------------------------------------- build once
 
@@ -295,12 +297,13 @@ class GAGAvatar:
         when even the largest bucket is tight. The budgeted gather drops far
         gaussians of the bottom image rows when exceeded
         (ops/gsplat.py _build_instances)."""
-        from ...ops.gsplat import count_valid_instances
+        from ...ops.gsplat import count_valid_instances, max_valid_slots_per_gaussian
 
         gs = self._gs_params
         n = int(gs["xyz"].shape[1])
         if not _instance_budget(n):  # env requested the exact/unbudgeted path
             self._budget = None
+            self._slot_cap = None
             return
         cam = jnp.concatenate([
             transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
@@ -327,8 +330,18 @@ class GAGAvatar:
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
         self._budget = _select_budget(count, n)
         budget = self._budget
+        # Per-gaussian slot cap: the instance-key sort scales with emitted
+        # slots (DUP = 8 worst case), but the alignment-independent bound on
+        # any one gaussian's valid slots is usually much lower (trained
+        # avatars: small splats -> 2-4). Exact by construction: the bound
+        # dominates every per-gaussian count (ops/gsplat.py).
+        self._slot_cap = int(max_valid_slots_per_gaussian(
+            xyz[0], gs["opacities"][0], gs["scales"][0],
+            gs["rotations"][0], cam,
+            focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
         print(f"[artalk_tpu] avatar budget: {count} neutral-pose instances "
-              f"-> {budget} ({budget / n:.2f} inst/gaussian)")
+              f"-> {budget} ({budget / n:.2f} inst/gaussian, "
+              f"slot cap {self._slot_cap})")
         # Measured pose-driven excursion is at most +0.18% over neutral
         # (tools/exp_budget_margin.py), so a budget within 2% of the count
         # is the only genuinely tight case.
@@ -353,7 +366,8 @@ class GAGAvatar:
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
             interpret=self.interpret,
             max_instances=self._active_budget(xyz.shape[1]),
-            bf16_colors=self.bf16_colors)
+            bf16_colors=self.bf16_colors,
+            slots_per_gaussian=self._slot_cap)
         sr = self.upsampler(upsampler_params, render[None],
                             compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
         return apply_watermark(jnp.clip(sr, 0.0, 1.0), self._watermark)
@@ -387,9 +401,10 @@ class GAGAvatar:
         """One frame: re-posed gaussians -> splat -> SR (models.py:64-95)."""
         if self._gs_params is None:
             self._build_gs_params()
-        fn = self._frame_fns.get(self._budget)
-        if fn is None:  # budget is a trace-time constant: one jit per bucket
-            fn = self._frame_fns[self._budget] = jax.jit(self._frame_step)
+        fkey = (self._budget, self._slot_cap)
+        fn = self._frame_fns.get(fkey)
+        if fn is None:  # budget/cap are trace-time constants: one jit each
+            fn = self._frame_fns[fkey] = jax.jit(self._frame_step)
         return fn(self._gs_params, batch["t_points"],
                   batch["t_transform"], self.params["upsampler"])
 
@@ -419,7 +434,8 @@ class GAGAvatar:
                 focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
                 interpret=self.interpret,
                 max_instances=self._active_budget(xyz.shape[0]),
-                bf16_colors=self.bf16_colors)
+                bf16_colors=self.bf16_colors,
+                slots_per_gaussian=self._slot_cap)
             sr = self.upsampler(
                 upsampler_params, render[None],
                 compute_dtype=jnp.bfloat16 if self.bf16_sr else None)
@@ -439,7 +455,7 @@ class GAGAvatar:
         # minutes over a tunnel); the budget is a trace-time constant, so it
         # MUST be part of the key or a budget change would silently reuse a
         # wrong-shaped executable
-        key = (id(flame_model), colorspace, self._budget)
+        key = (id(flame_model), colorspace, self._budget, self._slot_cap)
         fn = self._chunk_fns.get(key)
         if fn is None:
             step = functools.partial(self._chunk_step, flame_model, colorspace)

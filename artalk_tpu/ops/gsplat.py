@@ -253,8 +253,56 @@ def _slot_validity(mx, my, radius, opac, size: int):
     return tx, ty, valid
 
 
+def _compact_slots(tile_id, tx, ty, mx, my, num_tiles: int, slot_cap: int):
+    """Per-gaussian slot compaction: keep each gaussian's ``slot_cap`` most
+    central valid slots of its DUP emitted ones.
+
+    The instance-key sort is the prepass's largest fixed cost and scales with
+    the emitted slot count, but the DUP = 2x4 window is sized for the LARGEST
+    clamped splat -- most gaussians validate only 1-2 slots. Compacting to a
+    per-scene cap (``max_valid_slots_per_gaussian``) shrinks the sort input
+    by DUP/slot_cap with zero output change when no gaussian exceeds the cap.
+
+    When a gaussian DOES exceed the cap, it keeps the slots whose tile
+    centers are nearest its mean -- the same centered-truncation degradation
+    contract as the MAX_RX/MAX_RY emission clamp (farthest tiles carry the
+    lowest-alpha tail), and strictly more graceful than the global prefix
+    budget's drop-whole-bottom-tiles behavior.
+
+    Selection runs as a Batcher odd-even 8-sorting network along the DUP
+    axis: 19 elementwise min/max stages over (n,) lanes -- fully fused by
+    XLA, no lane shuffles, ~free next to the 1.44M-key sort it shrinks.
+    Priority packs (tile-normalized L1 center distance, tile_id) into one
+    int32; invalid slots sort last as INT32_MAX.
+    """
+    assert 1 <= slot_cap <= DUP
+    if slot_cap == DUP:
+        return tile_id  # bit-exact default: set of (tile, rank) keys unchanged
+    tile_bits = (num_tiles + 1).bit_length()  # tile_id may equal num_tiles
+    dx = jnp.abs((tx + 0.5) * GTILE_W - mx) * (1.0 / GTILE_W)
+    dy = jnp.abs((ty + 0.5) * GTILE_H - my) * (1.0 / GTILE_H)
+    qd = jnp.minimum((dx + dy) * 64.0, 4095.0).astype(jnp.int32)
+    invalid = tile_id >= num_tiles
+    c = jnp.where(invalid, jnp.iinfo(jnp.int32).max,
+                  (qd << tile_bits) | tile_id)
+    rows = [c[d] for d in range(DUP)]
+    # Batcher odd-even mergesort network for 8 inputs (19 compare-exchanges)
+    net = [(0, 1), (2, 3), (4, 5), (6, 7),
+           (0, 2), (1, 3), (4, 6), (5, 7), (1, 2), (5, 6),
+           (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+           (1, 2), (3, 4), (5, 6)]
+    for a, b in net:
+        lo = jnp.minimum(rows[a], rows[b])
+        hi = jnp.maximum(rows[a], rows[b])
+        rows[a], rows[b] = lo, hi
+    kept = jnp.stack(rows[:slot_cap])
+    return jnp.where(kept == jnp.iinfo(jnp.int32).max, num_tiles,
+                     kept & ((1 << tile_bits) - 1))
+
+
 def _build_instances(comp: dict, opac, colors, size: int,
-                     max_instances: int | None = None):
+                     max_instances: int | None = None,
+                     slot_cap: int = DUP):
     """Budgeted tile duplication + tile-major/depth-minor ordering.
 
     comp: the (N,)-component dict from ``_project_components``. Returns
@@ -319,14 +367,15 @@ def _build_instances(comp: dict, opac, colors, size: int,
 
     tx, ty, valid = _slot_validity(mx_s, my_s, radius_s, opac_s, size)
     tile_id = jnp.where(valid, (ty * tiles_x + tx).astype(jnp.int32), num_tiles)
+    tile_id = _compact_slots(tile_id, tx, ty, mx_s, my_s, num_tiles, slot_cap)
 
     # key = tile << rank_bits | depth rank; the rank of every slot of
     # depth-ranked gaussian g is just g (one gaussian never emits two slots
     # into the same real tile, and trash-tile duplicates are never read).
-    rank = jax.lax.broadcasted_iota(jnp.int32, (DUP, n), 1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (slot_cap, n), 1)
     key = (tile_id << rank_bits) | rank
 
-    total = n * DUP
+    total = n * slot_cap
     padded = ((total + GCHUNK - 1) // GCHUNK) * GCHUNK
     key = jnp.pad(key.reshape(-1), (0, padded - total),
                   constant_values=jnp.iinfo(jnp.int32).max)
@@ -498,12 +547,14 @@ def _splat_kernel(offsets_ref, geo_ref, cols_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("focal", "size", "interpret",
-                                    "max_instances", "bf16_colors"))
+                                    "max_instances", "bf16_colors",
+                                    "slots_per_gaussian"))
 def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
                         focal: float = 12.0, size: int = 512,
                         interpret: bool = False,
                         max_instances: int | None = None,
-                        bf16_colors: bool = False) -> jnp.ndarray:
+                        bf16_colors: bool = False,
+                        slots_per_gaussian: int | None = None) -> jnp.ndarray:
     """Full tiled gaussian rasterization -> (CHANNELS, size, size).
 
     Single scene (no batch); vmap/loop at a higher level. Matches the CUDA
@@ -521,6 +572,12 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
     compositing matmul still accumulates in f32, so the output error is
     bf16-quantization of the inputs (~3e-3 relative) -- at the 8-bit video
     quantization floor downstream. Default off = bit-exact reference path.
+
+    slots_per_gaussian: static cap on emitted tile slots per gaussian (of
+    the DUP = 8 window). The instance-key sort scales with it, so capping at
+    the scene's measured ``max_valid_slots_per_gaussian`` halves-or-better
+    the sort with zero output change; below that, each oversized gaussian
+    keeps its most-central slots (see _compact_slots). None = DUP = exact.
     """
     assert size % GTILE_H == 0 and size % GTILE_W == 0
     if bf16_colors:
@@ -528,7 +585,8 @@ def rasterize_gaussians(xyz, colors, opacities, scales, rotations, cam_matrix,
     comp = _project_components(xyz, scales, rotations, cam_matrix, focal, size)
     opac = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
     geo, cols, offsets = _build_instances(comp, opac, colors, size,
-                                          max_instances)
+                                          max_instances,
+                                          slot_cap=slots_per_gaussian or DUP)
     tiles_x = size // GTILE_W
     tiles_y = size // GTILE_H
     num_tiles = tiles_x * tiles_y
@@ -573,3 +631,28 @@ def count_valid_instances(xyz, opacities, scales, rotations, cam_matrix,
     _, _, valid = _slot_validity(comp["mx"], comp["my"], comp["radius"], opac,
                                  size)
     return jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("focal", "size"))
+def max_valid_slots_per_gaussian(xyz, opacities, scales, rotations, cam_matrix,
+                                 focal: float = 12.0,
+                                 size: int = 512) -> jnp.ndarray:
+    """Alignment-independent upper bound on tile slots any one gaussian can
+    validate -- use to size ``rasterize_gaussians(slots_per_gaussian=...)``
+    exactly. Computed from the emission-clamped radii alone: a closed
+    interval of length 2r intersects at most floor(2r/tile) + 2 tiles of the
+    grid (both endpoints can sit on boundaries; the overlap test in
+    _slot_validity is inclusive), clamped to the DUP window. A 5% radius
+    margin keeps pose-driven depth changes from crossing a tile-count
+    threshold between the calibration pose and a driven frame (measured
+    total-count excursion is +0.18%; see avatar.py)."""
+    comp = _project_components(xyz, scales, rotations, cam_matrix, focal, size)
+    opac = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
+    live = (opac > 0) & (comp["radius"] > 0) & comp["in_front"]
+    r = comp["radius"] * 1.05
+    rx = jnp.minimum(r, float(MAX_RX))
+    ry = jnp.minimum(r, float(MAX_RY))
+    cols = jnp.minimum(jnp.floor(2.0 * rx / GTILE_W) + 2, DUP_X)
+    rows = jnp.minimum(jnp.floor(2.0 * ry / GTILE_H) + 2, DUP_Y)
+    slots = jnp.where(live, (cols * rows).astype(jnp.int32), 0)
+    return jnp.max(slots, initial=1)

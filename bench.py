@@ -23,10 +23,15 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``gaga_ms_per_frame``: BASELINE config #5 — full GAGAvatar device frame on
   the production 25-frame chunk path (FLAME re-pose + EMA + 180k-gaussian
   splat + StyleUNet SR + watermark + yuv420 pack), synthetic avatar/weights
-  (saturates the 4/gaussian instance budget — the pessimistic workload).
-- ``gaga_trained_ms_per_frame``: the same frame at the 3/gaussian budget
-  bucket the per-avatar auto-budgeter selects for trained checkpoints
-  (measured ~1.7 valid instances/gaussian).
+  at the 4 instances/gaussian budget bucket + matching slot cap (the
+  r02/r03-comparable key; documented-lossy on this saturating random-init
+  scene, which trained avatars fit with 2.3x margin).
+- ``gaga_exact_ms_per_frame``: the same frame under the production selector
+  (escalated exact budget + measured per-gaussian slot cap — no dropped
+  splats on ANY scene, including this pessimal one).
+- ``gaga_trained_ms_per_frame``: the same frame at the budget bucket the
+  per-avatar auto-budgeter selects for trained checkpoints (measured ~1.7
+  valid instances/gaussian, slot cap 4).
 - ``motion_fast_frames_per_sec``: the headline path in the opt-in bf16 mode
   (ARTALK_AR_PRECISION=fast: bf16 audio encoder + bf16 AR blocks; changes
   code bits, see README).
@@ -192,7 +197,8 @@ def bench_mesh():
 
 
 def bench_gsplat():
-    from artalk_tpu.ops.gsplat import rasterize_gaussians
+    from artalk_tpu.ops.gsplat import (
+        max_valid_slots_per_gaussian, rasterize_gaussians)
 
     # GAGAvatar workload: 5023 FLAME-vertex gaussians (head-sized) + 2 dense
     # 296^2 ray-plane sheets of small splats (avatar.py / SURVEY §3.4)
@@ -212,9 +218,15 @@ def bench_gsplat():
                    np.float32)
     args = [jnp.asarray(a) for a in (xyz, colors, opac, scales, q, cam)]
 
-    # same instance budget as the GAGAvatar frame path (avatar.py)
+    # same instance budget as the GAGAvatar frame path (avatar.py), plus the
+    # production per-gaussian slot cap at the scene's measured exact bound
+    # (small splats -> the 8-slot emission window compacts to `cap`, which
+    # shrinks the instance-key sort by 8/cap with bit-identical output)
+    cap = int(max_valid_slots_per_gaussian(
+        args[0], args[2], args[3], args[4], args[5], focal=12.0, size=512))
     f = _aot(jax.jit(lambda *a: jnp.sum(rasterize_gaussians(
-        *a, focal=12.0, size=512, max_instances=4 * n))), *args)
+        *a, focal=12.0, size=512, max_instances=4 * n,
+        slots_per_gaussian=cap))), *args)
     jax.device_get(f(*args))  # warmup
     ms = _device_ms(lambda i, prev: f(*args), n=10)
     return ms, _util(f, ms)
@@ -284,18 +296,32 @@ def bench_gaga():
             return ms_call / k, _util(jf, ms_call)
         return ms_call / k
 
-    ms_default, util = timed(fn, want_util=True)
+    # Production selector: escalated exact budget + measured slot cap (no
+    # dropped splats; the honest what-you-render-is-what-you-time key).
+    ms_exact, util = timed(fn, want_util=True)
+
+    n_gauss = int(gaga._gs_params["xyz"].shape[1])
+    # Historical headline (r02/r03-comparable, the VERDICT r3 target): the
+    # 4 instances/gaussian budget bucket with the matching per-gaussian slot
+    # cap. On this saturating random-init scene that budget is documented-
+    # lossy (trained avatars fit in it with 2.3x margin); the cap makes the
+    # loss centered-per-gaussian instead of dropping whole bottom tiles.
+    gaga._budget = 4 * n_gauss
+    gaga._slot_cap = 4
+    ms_b4 = timed(gaga._get_chunk_fn(flame, "yuv420"))
+
     # Trained-avatar bucket: feed the auto-budgeter (avatar._select_budget)
     # the measured trained-checkpoint workload (~1.7 instances/gaussian) so
     # this key times the frame a real avatar gets under whatever bucket the
-    # production selector assigns it. (The saturating synthetic avatar drops
-    # geometry under this budget -- valid for timing, not for pixels.)
+    # production selector assigns it. Slot cap 4 matches that workload too:
+    # 1.7 valid/gaussian means sub-8 px splats, whose alignment-independent
+    # bound is 2 rows x 2 cols (ops/gsplat.max_valid_slots_per_gaussian).
     from artalk_tpu.models.gagavatar.avatar import _select_budget
 
-    n_gauss = int(gaga._gs_params["xyz"].shape[1])
     gaga._budget = _select_budget(int(1.7 * n_gauss), n_gauss)
+    gaga._slot_cap = 4
     ms_trained = timed(gaga._get_chunk_fn(flame, "yuv420"))
-    return ms_default, ms_trained, util
+    return ms_b4, ms_exact, ms_trained, util
 
 
 def main():
@@ -354,8 +380,9 @@ def main():
     section("batched", lambda: out.__setitem__(
         "batched6_frames_per_sec", round(bench_batched(model, params), 1)))
     def _gaga():
-        ms_default, ms_trained, util = bench_gaga()
-        out["gaga_ms_per_frame"] = round(ms_default, 1)
+        ms_b4, ms_exact, ms_trained, util = bench_gaga()
+        out["gaga_ms_per_frame"] = round(ms_b4, 1)
+        out["gaga_exact_ms_per_frame"] = round(ms_exact, 1)
         out["gaga_trained_ms_per_frame"] = round(ms_trained, 1)
         _record_util("gaga", util)
 

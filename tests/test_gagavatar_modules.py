@@ -246,7 +246,8 @@ def test_render_motion_sequence_chunk_path(monkeypatch, tmp_path):
 
     def stub_rasterize(xyz, colors, opacities, scales, rotations, cam,
                        focal=12.0, size=512, interpret=False,
-                       max_instances=None, bf16_colors=False):
+                       max_instances=None, bf16_colors=False,
+                       slots_per_gaussian=None):
         seen_budgets.append(max_instances)
         # deterministic, frame-dependent output (cam varies per frame)
         base = jnp.mean(cam) + jnp.mean(xyz) * 1e-3

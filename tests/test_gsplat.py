@@ -151,6 +151,51 @@ def test_budgeted_instances_truncates_gracefully(rng):
     assert (out != 0).sum() <= (exact != 0).sum()
 
 
+def test_slot_cap_exact_at_measured_max(rng):
+    """slots_per_gaussian >= the scene's per-gaussian max -> bit-identical
+    output, and the bound helper really bounds the per-gaussian valid count."""
+    from artalk_tpu.ops.gsplat import (
+        _project_components, _slot_validity, max_valid_slots_per_gaussian)
+
+    args = _scene(rng)
+    cap = int(max_valid_slots_per_gaussian(args[0], args[2], args[3], args[4],
+                                           args[5], focal=12.0, size=128))
+    # the helper's alignment-independent bound dominates the actual counts
+    comp = _project_components(args[0], args[3], args[4], args[5], 12.0, 128)
+    opac = jnp.where(comp["in_front"], args[2][..., 0], 0.0)
+    _, _, valid = _slot_validity(comp["mx"], comp["my"], comp["radius"],
+                                 opac, 128)
+    actual_max = int(np.asarray(valid.astype(np.int32).sum(0)).max())
+    assert 1 <= actual_max <= cap <= 8
+
+    exact = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                           interpret=True))
+    capped = np.asarray(rasterize_gaussians(
+        *args, focal=12.0, size=128, interpret=True, slots_per_gaussian=cap))
+    np.testing.assert_array_equal(capped, exact)
+
+
+def test_slot_cap_truncates_centered():
+    """A splat forced below its slot need keeps its most-central tiles: the
+    pixel at the mean still composites exactly; far rows go black."""
+    xyz = jnp.asarray(np.zeros((1, 3), np.float32))
+    colors = jnp.asarray(np.ones((1, 32), np.float32))
+    opac = jnp.asarray(np.array([[0.9]], np.float32))
+    scales = jnp.asarray(np.full((1, 3), 0.08, np.float32))  # ~20 px radius
+    q = jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))
+    args = (xyz, colors, opac, scales, q, jnp.asarray(CAM))
+
+    exact = np.asarray(rasterize_gaussians(*args, focal=12.0, size=128,
+                                           interpret=True))
+    capped = np.asarray(rasterize_gaussians(
+        *args, focal=12.0, size=128, interpret=True, slots_per_gaussian=2))
+    assert exact[0, 64, 64] > 0.1
+    np.testing.assert_allclose(capped[:, 64, 64], exact[:, 64, 64], atol=1e-6)
+    # strictly a subset of the exact coverage, and something was dropped
+    assert ((capped != 0) <= (exact != 0)).all()
+    assert (capped != 0).sum() < (exact != 0).sum()
+
+
 def test_bf16_colors_close_to_f32(rng):
     """bf16 color storage changes only color quantization (~3e-3 relative);
     geometry/alpha stay f32, so structure is identical."""

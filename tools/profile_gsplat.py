@@ -49,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--slot-cap", type=int, default=0,
+                    help="slots_per_gaussian (0 = measured exact bound)")
     args = ap.parse_args()
     it = args.iters
     size = args.size
@@ -58,7 +60,10 @@ def main():
     xyz, colors, opac, scales, rots, cam = make_scene(rng, 2 * 296 * 296)
     n = xyz.shape[0]
     budget = G.GCHUNK * ((4 * n + G.GCHUNK - 1) // G.GCHUNK)
-    print(f"device: {jax.devices()[0]}  n={n}  instance budget={budget}\n")
+    cap = args.slot_cap or int(G.max_valid_slots_per_gaussian(
+        xyz, opac, scales, rots, cam, focal=focal, size=size))
+    print(f"device: {jax.devices()[0]}  n={n}  instance budget={budget}  "
+          f"slot cap={cap}\n")
 
     def s0(xyz, scales, rots, opacities):
         comp = G._project_components(xyz, scales, rots, cam, focal, size)
@@ -89,9 +94,11 @@ def main():
                                          table[5], size)
         tile_id = jnp.where(valid, (ty * tiles_x + tx).astype(jnp.int32),
                             num_tiles)
-        rank = jax.lax.broadcasted_iota(jnp.int32, (G.DUP, n), 1)
+        tile_id = G._compact_slots(tile_id, tx, ty, table[0], table[1],
+                                   num_tiles, cap)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (tile_id.shape[0], n), 1)
         key = (tile_id << rank_bits) | rank
-        total = n * G.DUP
+        total = n * tile_id.shape[0]
         padded = ((total + G.GCHUNK - 1) // G.GCHUNK) * G.GCHUNK
         key = jnp.pad(key.reshape(-1), (0, padded - total),
                       constant_values=jnp.iinfo(jnp.int32).max)
@@ -122,7 +129,7 @@ def main():
     t4 = timed("S4 full rasterize (adds Pallas kernel)",
                jax.jit(lambda x, s, r, o: jnp.sum(G.rasterize_gaussians(
                    x, colors, o, s, r, cam, focal=focal, size=size,
-                   max_instances=budget))),
+                   max_instances=budget, slots_per_gaussian=cap))),
                xyz, scales, rots, opac, iters=it)
 
     print("\n--- per-stage deltas ---")
@@ -139,7 +146,8 @@ def main():
         comp = G._project_components(xyz, scales, rots, cam, focal, size)
         op = jnp.where(comp["in_front"], opacities[..., 0], 0.0)
         geo, cols, offsets = G._build_instances(comp, op, colors, size,
-                                                max_instances=budget)
+                                                max_instances=budget,
+                                                slot_cap=cap)
         return jnp.sum(geo) + jnp.sum(cols) + jnp.sum(offsets)
 
     retraced = float(jax.device_get(
