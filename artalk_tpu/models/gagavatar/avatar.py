@@ -312,6 +312,7 @@ class GAGAvatar:
         # re-posed FLAME vertices in _frame_step); substitute the
         # neutral-pose vertices so head splats count toward the budget.
         xyz = gs["xyz"]
+        flame = None
         try:
             from ...models.flame import FlameModel
             from ...utils.assets import load_or_synthesize_flame
@@ -330,22 +331,67 @@ class GAGAvatar:
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
         self._budget = _select_budget(count, n)
         budget = self._budget
+        if flame is None:
+            # The cap is a MAX over gaussians (unlike the count, a sum that
+            # is merely ~3% low without head rows): if any head splat is the
+            # largest on screen, a cap computed from a head-less scene would
+            # silently truncate head geometry every frame. Skip the
+            # optimization (DUP window = exact) rather than guess.
+            self._slot_cap = None
+            print(f"[artalk_tpu] avatar budget: {count} neutral-pose "
+                  f"instances -> {budget} ({budget / n:.2f} inst/gaussian, "
+                  f"slot cap skipped: no FLAME assets)")
+            self._warn_if_tight(count, budget)
+            return
         # Per-gaussian slot cap: the instance-key sort scales with emitted
         # slots (DUP = 8 worst case), but the alignment-independent bound on
         # any one gaussian's valid slots is usually much lower (trained
         # avatars: small splats -> 2-4). Exact by construction: the bound
-        # dominates every per-gaussian count (ops/gsplat.py).
-        self._slot_cap = int(max_valid_slots_per_gaussian(
+        # dominates every per-gaussian count (ops/gsplat.py). Calibrated
+        # over DRIVEN poses, not neutral alone: head rotation folds into the
+        # camera, changing per-gaussian depth and hence radius, and the cap
+        # silently truncates a splat's edge tiles if exceeded (ADVICE r04).
+        # The sample reuses the exaggerated sigma-0.3 motion distribution of
+        # tools/exp_budget_margin.py; max_valid_slots_per_gaussian keeps its
+        # 5% radius margin on top. Same array shapes as the neutral call, so
+        # the per-frame evals hit the already-compiled executable.
+        cap = int(max_valid_slots_per_gaussian(
             xyz[0], gs["opacities"][0], gs["scales"][0],
             gs["rotations"][0], cam,
             focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+        rng = np.random.default_rng(11)
+        k = 16
+        motions = jnp.asarray(
+            rng.normal(0.0, 0.3, (k, 106)).astype(np.float32))
+        t_points = flame(
+            jnp.broadcast_to(self._feature_cache["shapecode"], (k, 300)),
+            motions[:, :100],
+            jnp.concatenate([jnp.zeros((k, 3)), motions[:, 103:106]],
+                            axis=-1))
+        cams = transform_emoca_to_p3d(motions[:, 100:103])
+        cams = jnp.concatenate([
+            cams[:, :, :3],
+            jnp.broadcast_to(
+                self._feature_cache["transform"][None, :, 3:4], (k, 3, 1)),
+        ], axis=-1)
+        caps = [max_valid_slots_per_gaussian(
+            xyz[0].at[:NUM_FLAME_VERTS].set(t_points[i]),
+            gs["opacities"][0], gs["scales"][0], gs["rotations"][0], cams[i],
+            focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"])
+            for i in range(k)]
+        self._slot_cap = max(cap, max(int(c) for c in caps))
         print(f"[artalk_tpu] avatar budget: {count} neutral-pose instances "
               f"-> {budget} ({budget / n:.2f} inst/gaussian, "
-              f"slot cap {self._slot_cap})")
+              f"slot cap {self._slot_cap}: neutral {cap}, "
+              f"{k}-driven-pose max {max(int(c) for c in caps)})")
+        self._warn_if_tight(count, budget)
+
+    @staticmethod
+    def _warn_if_tight(count: int, budget: Optional[int]) -> None:
         # Measured pose-driven excursion is at most +0.18% over neutral
         # (tools/exp_budget_margin.py), so a budget within 2% of the count
         # is the only genuinely tight case.
-        if count > budget / 1.02:
+        if budget is not None and count > budget / 1.02:
             rel = ("exceeds" if count > budget else "is within 2% of")
             print(f"[artalk_tpu] WARNING: avatar emits {count} splat "
                   f"instances at neutral pose, which {rel} the per-frame "

@@ -333,3 +333,66 @@ def test_select_budget_buckets(monkeypatch):
     assert _select_budget(170_000, n) == 123456
     monkeypatch.setenv("ARTALK_GSPLAT_MAX_INSTANCES", "0")
     assert _select_budget(170_000, n) is None
+
+
+def test_check_instance_budget_slot_cap_paths(monkeypatch):
+    """Slot-cap calibration (ADVICE r04): with FLAME assets the cap is the
+    max over the neutral pose AND a driven-pose sample (head rotation folds
+    into the camera and can grow per-gaussian radii past a tile-count
+    threshold); without FLAME assets the cap optimization is SKIPPED (the
+    cap is a MAX over gaussians, so a head-less scene can understate it and
+    silently truncate head geometry)."""
+    from artalk_tpu.models.gagavatar import avatar as avatar_mod
+    from artalk_tpu.models.gagavatar.avatar import (
+        CAM_PARAMS, NUM_FLAME_VERTS, GAGAvatar)
+    from artalk_tpu.models.gagavatar.generators import transform_emoca_to_p3d
+    from artalk_tpu.ops.gsplat import DUP, max_valid_slots_per_gaussian
+
+    monkeypatch.delenv("ARTALK_GSPLAT_MAX_INSTANCES", raising=False)
+    n = NUM_FLAME_VERTS + 64
+    rng = np.random.default_rng(3)
+    gaga = GAGAvatar(assets_dir="assets", params={})
+    gaga._tracked = {"stub": np.zeros(1)}
+    gaga._gs_params = {
+        "xyz": jnp.asarray(rng.normal(0, 0.1, (1, n, 3)).astype(np.float32)),
+        "colors": jnp.asarray(rng.random((1, n, 32)).astype(np.float32)),
+        "opacities": jnp.asarray(rng.random((1, n, 1)).astype(np.float32)),
+        "scales": jnp.asarray(rng.random((1, n, 3)).astype(np.float32) * 0.01),
+        "rotations": jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32)),
+    }
+    gaga._feature_cache = {
+        "transform": jnp.asarray(np.eye(3, 4, dtype=np.float32)),
+        "shapecode": jnp.zeros((1, 300), jnp.float32),
+    }
+
+    gaga._check_instance_budget()
+    assert gaga._budget is not None
+    assert isinstance(gaga._slot_cap, int) and 1 <= gaga._slot_cap <= DUP
+
+    # the calibrated cap covers (at least) the neutral pose's exact bound
+    from artalk_tpu.models.flame import FlameModel
+    from artalk_tpu.utils.assets import load_or_synthesize_flame
+
+    flame = FlameModel(load_or_synthesize_flame("assets"),
+                       n_shape=300, n_exp=100, scale=5.0)
+    neutral = flame(gaga._feature_cache["shapecode"], jnp.zeros((1, 100)),
+                    jnp.zeros((1, 6)))
+    cam = jnp.concatenate([
+        transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
+        gaga._feature_cache["transform"][:, 3:4]], axis=-1)
+    gs = gaga._gs_params
+    neutral_cap = int(max_valid_slots_per_gaussian(
+        gs["xyz"].at[:, :NUM_FLAME_VERTS].set(neutral)[0],
+        gs["opacities"][0], gs["scales"][0], gs["rotations"][0], cam,
+        focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+    assert gaga._slot_cap >= neutral_cap
+
+    # FLAME-missing fallback: budget still selected, cap optimization OFF
+    def boom(*a, **k):
+        raise FileNotFoundError("no FLAME assets in this test")
+
+    monkeypatch.setattr("artalk_tpu.utils.assets.load_or_synthesize_flame",
+                        boom)
+    gaga._check_instance_budget()
+    assert gaga._budget is not None
+    assert gaga._slot_cap is None

@@ -48,6 +48,8 @@ def main(n_frames: int = 200, chunk: int = 25):
     shapecode = gaga._feature_cache["shapecode"]
     base = gaga._feature_cache["transform"]
 
+    from artalk_tpu.ops.gsplat import max_valid_slots_per_gaussian
+
     @jax.jit
     def counts_for_chunk(motions_k, carry, is_first):
         t_points, cams, carry = prep_frame_chunk(
@@ -57,22 +59,28 @@ def main(n_frames: int = 200, chunk: int = 25):
         def one(motion_frame):
             t_p, cam = motion_frame
             xyz = gs["xyz"].at[:, :NUM_FLAME_VERTS].set(t_p[None])
-            return count_valid_instances(
+            return (count_valid_instances(
                 xyz[0], gs["opacities"][0], gs["scales"][0],
                 gs["rotations"][0], cam,
-                focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"])
+                focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]),
+                max_valid_slots_per_gaussian(
+                xyz[0], gs["opacities"][0], gs["scales"][0],
+                gs["rotations"][0], cam,
+                focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
 
         return jax.lax.map(one, (t_points, cams)), carry
 
     rng = np.random.default_rng(5)  # same seed family as bench_gaga
     carry = jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
-    counts = []
+    counts, caps = [], []
     for i in range(n_frames // chunk):
         motions = jnp.asarray(
             rng.normal(0, 0.3, (chunk, 106)).astype(np.float32))
-        c, carry = counts_for_chunk(motions, carry, jnp.float32(i == 0))
+        (c, s), carry = counts_for_chunk(motions, carry, jnp.float32(i == 0))
         counts.append(np.asarray(c))
+        caps.append(np.asarray(s))
     counts = np.concatenate(counts)
+    caps = np.concatenate(caps)
 
     from artalk_tpu.models.gagavatar.generators import transform_emoca_to_p3d
 
@@ -85,11 +93,24 @@ def main(n_frames: int = 200, chunk: int = 25):
         gs["opacities"][0], gs["scales"][0], gs["rotations"][0], neutral_cam,
         focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
 
+    neutral_cap = int(max_valid_slots_per_gaussian(
+        gs["xyz"].at[:, :NUM_FLAME_VERTS].set(
+            flame(shapecode, jnp.zeros((1, 100)), jnp.zeros((1, 6))))[0],
+        gs["opacities"][0], gs["scales"][0], gs["rotations"][0], neutral_cam,
+        focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"]))
+
     print(f"neutral count: {neutral}")
     print(f"driven frames: n={len(counts)} min={counts.min()} "
           f"mean={counts.mean():.0f} p99={np.percentile(counts, 99):.0f} "
           f"max={counts.max()}")
     print(f"max / neutral = {counts.max() / neutral:.4f}")
+    # Per-gaussian slot cap (MAX over gaussians, so pose excursions matter
+    # more than for the count sum -- ADVICE r04): avatar._check_instance_
+    # budget now calibrates over a driven sample; this records the full-run
+    # excursion for the record.
+    print(f"neutral slot cap: {neutral_cap}")
+    print(f"driven slot caps: min={caps.min()} max={caps.max()} "
+          f"(frames at max: {(caps == caps.max()).sum()})")
 
 
 if __name__ == "__main__":
