@@ -23,12 +23,14 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``gaga_ms_per_frame``: BASELINE config #5 — full GAGAvatar device frame on
   the production 25-frame chunk path (FLAME re-pose + EMA + 180k-gaussian
   splat + StyleUNet SR + watermark + yuv420 pack), synthetic avatar/weights
-  at the 4 instances/gaussian budget bucket + matching slot cap (the
-  r02/r03-comparable key; documented-lossy on this saturating random-init
-  scene, which trained avatars fit with 2.3x margin).
-- ``gaga_exact_ms_per_frame``: the same frame under the production selector
-  (escalated exact budget + measured per-gaussian slot cap — no dropped
-  splats on ANY scene, including this pessimal one).
+  under the PRODUCTION selector (escalated exact budget + measured
+  per-gaussian slot cap — no dropped splats on ANY scene, including this
+  pessimal one). Headline since r05 (ADVICE r04): what-you-render-is-what-
+  you-time; the utilization keys are measured on this same run.
+- ``gaga_b4cap4_ms_per_frame``: the same frame FORCED to the 4 instances/
+  gaussian budget bucket + slot cap 4 — the historical r02-r04 headline,
+  kept for cross-round comparability. Documented-lossy on this saturating
+  random-init scene (trained avatars fit that budget with 2.3x margin).
 - ``gaga_trained_ms_per_frame``: the same frame at the budget bucket the
   per-avatar auto-budgeter selects for trained checkpoints (measured ~1.7
   valid instances/gaussian, slot cap 4).
@@ -46,6 +48,11 @@ host<->TPU round trip is amortized out — see CLAUDE.md):
 - ``motion_int8_frames_per_sec`` / ``stream_int8_p50_ms``: weight-only int8
   quantized fused kernels (ARTALK_AR_PRECISION=int8; per-output-channel
   symmetric scales, bf16 compute).
+
+Spread keys: the tunnel-noisy single-shot sections (stream*, mesh, gsplat,
+gaga) repeat their measurement 5x and report the median plus a
+``*_spread_ms`` key (max - min across repeats), so cross-round deltas inside
+the spread are identifiable as noise from the JSON alone.
 
 Utilization keys: the motion/mesh/gsplat/gaga sections also emit
 ``<section>_mfu`` / ``<section>_membw_frac`` / ``<section>_gflop_per_call``
@@ -95,6 +102,16 @@ V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_HBM = 819e9
 
 
+def _repeat_ms(enqueue, n: int, repeats: int = 5):
+    """Median-of-repeats device time + spread (max - min) for the tunnel-
+    noisy single-shot sections (VERDICT r4 weak #6: stream_int8_p50_ms
+    wobbled 5.6->7.8->5.7 across rounds with nothing in the JSON to say
+    which is signal). Each repeat is a full pipelined measurement; the
+    spread key lets the README mark deltas inside noise."""
+    vals = sorted(_device_ms(enqueue, n=n) for _ in range(repeats))
+    return vals[len(vals) // 2], vals[-1] - vals[0]
+
+
 def _aot(jitf, *args):
     """AOT-compile a jitted callable so the SAME executable serves the
     timing loop and the cost analysis (a second trace would recompile
@@ -102,13 +119,20 @@ def _aot(jitf, *args):
     return jitf.lower(*args).compile()
 
 
-def _util(compiled, ms_per_call: float) -> dict:
+def _util(compiled, ms_per_call: float, extra_flops: float = 0.0) -> dict:
     """MFU / HBM-fraction keys for one compiled program at a measured
-    per-call device time."""
+    per-call device time.
+
+    extra_flops: hand-computed Pallas kernel-interior work
+    (utils/roofline.py) -- cost_analysis counts custom-call interiors as
+    zero flops, so the mostly-Pallas sections (gsplat/mesh/gaga) pass their
+    static tile math here. Bytes stay as counted: operand/output traffic
+    already equals those kernels' true HBM traffic (each instance chunk /
+    plane table is DMA'd exactly once per call)."""
     ca = compiled.cost_analysis()
     if not isinstance(ca, dict):  # older jax returns [dict]
         ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
+    flops = float(ca.get("flops", 0.0)) + float(extra_flops)
     byt = float(ca.get("bytes accessed", 0.0))
     sec = ms_per_call / 1e3
     return {
@@ -172,7 +196,7 @@ def bench_stream(model, params):
         holder["state"], motion = step(params, holder["state"], chunk, style_cond)
         return motion[0, 0, 0]
 
-    return _device_ms(enqueue, n=16)
+    return _repeat_ms(enqueue, n=16)
 
 
 def bench_mesh():
@@ -192,8 +216,16 @@ def bench_mesh():
 
     f = _aot(jax.jit(lambda v: jnp.sum(renderer(v))), verts)
     jax.device_get(f(verts))  # warmup
-    ms_call = _device_ms(lambda i, prev: f(verts), n=8)
-    return ms_call / frames, _util(f, ms_call)
+    ms_call, spread = _repeat_ms(lambda i, prev: f(verts), n=8)
+    # hand-computed kernel flops (utils/roofline.py): exact bbox-overlap
+    # visit count per frame, summed over the 25-frame batch
+    from artalk_tpu.utils.roofline import mesh_kernel_cost
+
+    extra = sum(
+        mesh_kernel_cost(renderer.camera_transform(verts[i]),
+                         flame_data["faces"], 512, 512)["flops"]
+        for i in range(frames))
+    return ms_call / frames, spread / frames, _util(f, ms_call, extra_flops=extra)
 
 
 def bench_gsplat():
@@ -228,8 +260,17 @@ def bench_gsplat():
         *a, focal=12.0, size=512, max_instances=4 * n,
         slots_per_gaussian=cap))), *args)
     jax.device_get(f(*args))  # warmup
-    ms = _device_ms(lambda i, prev: f(*args), n=10)
-    return ms, _util(f, ms)
+    ms, spread = _repeat_ms(lambda i, prev: f(*args), n=10)
+    # hand-computed splat-kernel flops from the exact per-tile instance
+    # histogram (utils/roofline.py; upper bound -- no early-out credit)
+    from artalk_tpu.utils.roofline import (gsplat_kernel_cost,
+                                           gsplat_tile_histogram)
+
+    hist = gsplat_tile_histogram(args[0], args[2], args[3], args[4], args[5],
+                                 focal=12.0, size=512, slot_cap=cap,
+                                 max_instances=4 * n)
+    extra = gsplat_kernel_cost(hist)["flops"]
+    return ms, spread, _util(f, ms, extra_flops=extra)
 
 
 def bench_batched(model, params):
@@ -267,7 +308,8 @@ def bench_gaga():
     ARTALK_GAGA_PRECISION=exact restores full f32). The separate ``gsplat``
     section stays on the exact f32 kernel path."""
     from artalk_tpu.models.flame import FlameModel
-    from artalk_tpu.models.gagavatar.avatar import FOREHEAD_INDICES, GAGAvatar
+    from artalk_tpu.models.gagavatar.avatar import (
+        CAM_PARAMS, FOREHEAD_INDICES, NUM_FLAME_VERTS, GAGAvatar)
     from artalk_tpu.utils.assets import load_or_synthesize_flame
 
     flame_data = load_or_synthesize_flame("assets")
@@ -278,6 +320,28 @@ def bench_gaga():
     fn = gaga._get_chunk_fn(flame, "yuv420")
 
     k = 25  # production transfer_chunk
+
+    def splat_extra_flops():
+        """Hand-computed splat-kernel work of one chunk call (k frames) at
+        the production budget/cap — the Pallas share cost_analysis misses
+        (utils/roofline.py). Neutral-pose scene: pose excursion moves the
+        instance count <0.2% (tools/exp_budget_margin.py)."""
+        from artalk_tpu.models.gagavatar.generators import transform_emoca_to_p3d
+        from artalk_tpu.utils.roofline import (gsplat_kernel_cost,
+                                               gsplat_tile_histogram)
+
+        gs = gaga._gs_params
+        neutral = flame(gaga._feature_cache["shapecode"],
+                        jnp.zeros((1, 100)), jnp.zeros((1, 6)))
+        xyz = gs["xyz"].at[:, :NUM_FLAME_VERTS].set(neutral)
+        cam = jnp.concatenate([
+            transform_emoca_to_p3d(jnp.zeros((1, 3)))[0][:, :3],
+            gaga._feature_cache["transform"][:, 3:4]], axis=-1)
+        hist = gsplat_tile_histogram(
+            xyz[0], gs["opacities"][0], gs["scales"][0], gs["rotations"][0],
+            cam, focal=CAM_PARAMS["focal"], size=CAM_PARAMS["size"],
+            slot_cap=gaga._slot_cap, max_instances=gaga._budget)
+        return k * gsplat_kernel_cost(hist)["flops"]
     rng = np.random.default_rng(5)
     motions = jnp.asarray(rng.normal(0, 0.3, (k, 106)).astype(np.float32))
     carry = jnp.zeros((len(FOREHEAD_INDICES), 3), jnp.float32)
@@ -291,14 +355,15 @@ def bench_gaga():
         jf = _aot(jax.jit(lambda *a: jnp.sum(
             chunk_fn(*a)[0][:, ::64, ::64].astype(jnp.int32))), *cargs)
         jax.device_get(jf(*cargs))  # warmup
-        ms_call = _device_ms(lambda i, prev: jf(*cargs), n=6)
         if want_util:
-            return ms_call / k, _util(jf, ms_call)
-        return ms_call / k
+            ms_call, spread = _repeat_ms(lambda i, prev: jf(*cargs), n=6)
+            return (ms_call / k, spread / k,
+                    _util(jf, ms_call, extra_flops=splat_extra_flops()))
+        return _device_ms(lambda i, prev: jf(*cargs), n=6) / k
 
     # Production selector: escalated exact budget + measured slot cap (no
     # dropped splats; the honest what-you-render-is-what-you-time key).
-    ms_exact, util = timed(fn, want_util=True)
+    ms_exact, spread_exact, util = timed(fn, want_util=True)
 
     n_gauss = int(gaga._gs_params["xyz"].shape[1])
     # Historical headline (r02/r03-comparable, the VERDICT r3 target): the
@@ -321,7 +386,7 @@ def bench_gaga():
     gaga._budget = _select_budget(int(1.7 * n_gauss), n_gauss)
     gaga._slot_cap = 4
     ms_trained = timed(gaga._get_chunk_fn(flame, "yuv420"))
-    return ms_b4, ms_exact, ms_trained, util
+    return ms_b4, ms_exact, spread_exact, ms_trained, util
 
 
 def main():
@@ -361,28 +426,39 @@ def main():
         _record_util("motion", util)
 
     section("motion", _motion)
-    section("stream", lambda: out.__setitem__(
-        "stream_p50_ms", round(bench_stream(model, params), 1)))
+
+    def _stream_keys(prefix, model_, params_):
+        p50, spread = bench_stream(model_, params_)
+        out[f"{prefix}_p50_ms"] = round(p50, 1)
+        out[f"{prefix}_spread_ms"] = round(spread, 1)
+
+    section("stream", lambda: _stream_keys("stream", model, params))
 
     def _mesh():
-        ms, util = bench_mesh()
+        ms, spread, util = bench_mesh()
         out["mesh_ms_per_frame"] = round(ms, 2)
+        out["mesh_spread_ms"] = round(spread, 2)
         _record_util("mesh", util)
 
     section("mesh", _mesh)
 
     def _gsplat():
-        ms, util = bench_gsplat()
+        ms, spread, util = bench_gsplat()
         out["gsplat_ms_per_frame"] = round(ms, 1)
+        out["gsplat_spread_ms"] = round(spread, 2)
         _record_util("gsplat", util)
 
     section("gsplat", _gsplat)
     section("batched", lambda: out.__setitem__(
         "batched6_frames_per_sec", round(bench_batched(model, params), 1)))
     def _gaga():
-        ms_b4, ms_exact, ms_trained, util = bench_gaga()
-        out["gaga_ms_per_frame"] = round(ms_b4, 1)
-        out["gaga_exact_ms_per_frame"] = round(ms_exact, 1)
+        ms_b4, ms_exact, spread_exact, ms_trained, util = bench_gaga()
+        # Headline = the production selector's frame (ADVICE r04: the forced
+        # 4/g+cap-4 config is one the selector never chooses on this scene);
+        # util was measured on this same run, so the README pairing is honest.
+        out["gaga_ms_per_frame"] = round(ms_exact, 1)
+        out["gaga_spread_ms"] = round(spread_exact, 2)
+        out["gaga_b4cap4_ms_per_frame"] = round(ms_b4, 1)
         out["gaga_trained_ms_per_frame"] = round(ms_trained, 1)
         _record_util("gaga", util)
 
@@ -423,7 +499,7 @@ def main():
         # production streaming mode (fused bf16): per-window latency with
         # BOTH weight-streaming kernels engaged (batch-1 encoder + decode)
         fused_model, packed = _fused_model(bf16_audio=True, bf16_ar=True)
-        out["stream_fused_p50_ms"] = round(bench_stream(fused_model, packed), 1)
+        _stream_keys("stream_fused", fused_model, packed)
 
     section("fstream", _fstream)
 
@@ -434,7 +510,7 @@ def main():
                                           int8_ar=True)
         fps, _, _, _ = bench_motion(int8_model, packed)
         out["motion_int8_frames_per_sec"] = round(fps, 1)
-        out["stream_int8_p50_ms"] = round(bench_stream(int8_model, packed), 1)
+        _stream_keys("stream_int8", int8_model, packed)
 
     section("int8", _int8)
     print(json.dumps(out))
