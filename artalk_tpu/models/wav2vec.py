@@ -192,7 +192,8 @@ class Wav2VecEncoder:
 
         if (fused_pack is not None and cfg.do_stable_layer_norm
                 and (x.shape[0] == 1 or pack_batched_ok(fused_pack))):
-            from ..ops.encoder_block_stack import encoder_block_stack
+            from ..ops.encoder_block_stack import (encoder_block_stack,
+                                                   fused_batch_size)
 
             def run_window(xi):
                 return encoder_block_stack(
@@ -202,8 +203,18 @@ class Wav2VecEncoder:
                     eps=eps, interpret=jax.default_backend() != "tpu")
 
             x = x.astype(jnp.float32)
-            if x.shape[0] == 1:
+            b = x.shape[0]
+            gb = fused_batch_size(fused_pack)
+            if b <= gb:
                 x = run_window(x)
+            elif b % gb == 0:
+                # map over GROUPS of gb windows: each kernel call streams
+                # the ~600 MB (bf16) of layer weights ONCE for gb windows
+                # (the per-window map re-read them per window — most of the
+                # stack's time at B=8)
+                xg = x.reshape(b // gb, gb, x.shape[1], x.shape[2])
+                x = jax.lax.map(run_window, xg).reshape(b, x.shape[1],
+                                                        x.shape[2])
             else:
                 x = jax.lax.map(lambda xi: run_window(xi[None])[0], x)
             return nn.layer_norm_apply(params["encoder"]["final_norm"], x,

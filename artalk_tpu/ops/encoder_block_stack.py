@@ -160,11 +160,29 @@ def pack_batched_ok(pack) -> bool:
     return pack["wtiles"].dtype != jnp.float32
 
 
+def fused_batch_size(pack) -> int:
+    """Windows per kernel call for the batched offline encode.
+
+    In principle each extra window shares ONE weight stream where the
+    lax.map-per-window path re-reads all ~600 MB (bf16) of layer weights
+    per window. MEASURED (v5e, r05, tools/exp_encoder_group_batch.py):
+    B=2 grouped is a ~3x REGRESSION over the per-window map (full __call__
+    14.5 -> 46.9 ms bf16 / 14.1 -> 47.0 int8 with slim bf16 scratch) --
+    see the tool header for the variable isolation. Until a grouped config
+    measures a win, everything maps per window.
+    """
+    return 1
+
+
 def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
             x_s, xm_s, q_s, k_s, v_s, at_s, h1_s, ac_s, *,
             plan, depth: int, d: int, tw: int, num_heads: int, pn: int,
             pn_pad: int, batch: int, f: int, eps: float, precision,
             quantized: bool):
+    # q/k/v/at/h1 scratch may be bf16 (see encoder_block_stack): every read
+    # feeds a matmul that casts to the compute dtype anyway, so storing in
+    # it is bit-identical while halving those buffers -- that VMEM headroom
+    # is what lets B>1 windows share one weight stream.
     t = pl.program_id(1)
     rows = batch * pn_pad
     hd = d // num_heads
@@ -208,7 +226,7 @@ def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 p = jnp.exp(logits - m)
                 z = jnp.sum(p, axis=-1, keepdims=True)
-                at_s[rs, ls] = mm(p, v_s[rs, ls]) / z
+                at_s[rs, ls] = (mm(p, v_s[rs, ls]) / z).astype(at_s.dtype)
 
     for t_idx, (kind, j) in enumerate(plan):
         @pl.when(t == t_idx)
@@ -218,11 +236,14 @@ def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
             if kind == "q":
                 if j == 0:
                     xm_s[...] = ln(x_s[...], rowmap["ln1s"], rowmap["ln1b"])
-                q_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["q"], ls]
+                q_s[:, ls] = (wmm(xm_s[...], w)
+                              + b_ref[0, rowmap["q"], ls]).astype(q_s.dtype)
             elif kind == "k":
-                k_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["k"], ls]
+                k_s[:, ls] = (wmm(xm_s[...], w)
+                              + b_ref[0, rowmap["k"], ls]).astype(k_s.dtype)
             elif kind == "v":
-                v_s[:, ls] = wmm(xm_s[...], w) + b_ref[0, rowmap["v"], ls]
+                v_s[:, ls] = (wmm(xm_s[...], w)
+                              + b_ref[0, rowmap["v"], ls]).astype(v_s.dtype)
                 if (j + 1) * tw == d:       # last v tile -> attention glue
                     attention()
             elif kind == "out":
@@ -236,7 +257,8 @@ def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
                 brow = rowmap["fc1"] + (j * tw) // d
                 boff = (j * tw) % d
                 h1_s[...] = _gelu_erf(
-                    wmm(xm_s[...], w) + b_ref[0, brow, boff:boff + tw])
+                    wmm(xm_s[...], w)
+                    + b_ref[0, brow, boff:boff + tw]).astype(h1_s.dtype)
             else:                            # fc2 row chunk (stored transposed)
                 ac_s[...] += wmm(h1_s[...], w, contract_rhs=1)
 
@@ -249,12 +271,13 @@ def _kernel(x_ref, w_ref, b_ref, sc_ref, y_ref,
         y_ref[...] = x_s[...].reshape(batch, pn_pad, d).astype(y_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "interpret",
+                                             "slim_scratch"))
 def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
                         biases: jnp.ndarray,
                         scales: jnp.ndarray | None = None, *, num_heads: int,
-                        eps: float = 1e-5, interpret: bool = False
-                        ) -> jnp.ndarray:
+                        eps: float = 1e-5, interpret: bool = False,
+                        slim_scratch: bool | None = None) -> jnp.ndarray:
     """Run (B, T, d) tokens through the whole pre-LN encoder stack.
 
     Input is the post-(projection + positional-conv) hidden state; the final
@@ -289,6 +312,30 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
         pn=pn, pn_pad=pn_pad, batch=b, f=f, eps=eps, precision=precision,
         quantized=quantized)
     rows = b * pn_pad
+    # matmul-feeder scratch (q/k/v/at/h1) may live in the compute dtype:
+    # every read is cast there at the matmul anyway, so this is value-
+    # identical and shrinks the B>1 working set -- but each store pays a
+    # Mosaic f32->bf16 retiling, so it is OFF unless the batch needs the
+    # room (slim_scratch=None -> auto: only when b > 1 on a bf16/int8 pack)
+    if slim_scratch is None:
+        slim_scratch = b > 1 and cdt != jnp.float32
+    slim = jnp.bfloat16 if (slim_scratch and cdt != jnp.float32) \
+        else jnp.float32
+    scratch = [
+        pltpu.VMEM((rows, d), jnp.float32),   # x_s  (residual carry)
+        pltpu.VMEM((rows, d), jnp.float32),   # xm_s (LN out / attn-out acc)
+        pltpu.VMEM((rows, d), slim),          # q_s
+        pltpu.VMEM((rows, d), slim),          # k_s
+        pltpu.VMEM((rows, d), slim),          # v_s
+        pltpu.VMEM((rows, d), slim),          # at_s
+        pltpu.VMEM((rows, tw), slim),         # h1_s
+        pltpu.VMEM((rows, d), jnp.float32),   # ac_s (fc2 accumulator)
+    ]
+    slim_b = 2 if slim == jnp.bfloat16 else 4
+    vmem_bytes = (rows * d * (3 * 4 + 4 * slim_b) + rows * tw * slim_b
+                  + 2 * d * tw * wtiles.dtype.itemsize      # 2 tile buffers
+                  + 2 * b * pn_pad * d * 4                  # x block + y
+                  + biases.shape[1] * d * 4 + d * 4)
     y = pl.pallas_call(
         kernel,
         grid=(depth, nt),
@@ -300,11 +347,11 @@ def encoder_block_stack(x: jnp.ndarray, wtiles: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((b, pn_pad, d), lambda i, t: (0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, pn_pad, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.float32)] * 6
-        + [pltpu.VMEM((rows, tw), jnp.float32),
-           pltpu.VMEM((rows, d), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=max(int(vmem_bytes * 1.15) + (1 << 21),
+                                 16 << 20)),
         interpret=interpret,
     )(x, wtiles, biases, scales4)
     return y[:, :pn]

@@ -24,6 +24,33 @@ conics, front-to-back alpha compositing per pixel -- re-architected for TPU:
 
 CUDA's per-pixel sequential loop becomes scan + matmul -- the natural TPU
 formulation of the same sum: C(p) = sum_i c_i a_i prod_{j<i} (1 - a_j).
+
+PREPASS STRUCTURAL FLOOR (r05, every avenue measured): the prepass is bound
+by XLA's data-dependent-permutation primitives, which Mosaic cannot replace
+(no vectorized gather/scatter exists in Pallas TPU -- per-element DMA is the
+only mechanism, orders of magnitude too slow at 1M instances):
+
+- gather runs at ~3 ns/index/pass independent of row width and table
+  residency (tools/exp_gather_split.py; a 1 MB fully-VMEM table gathers at
+  the same per-index rate), so the budgeted instance gather is index-pass
+  bound; the pipeline already uses the minimum number of passes (one packed
+  f32 pass, or two overlapping passes when colors are bf16 -- fusing them
+  was measured and LOSES 3.7 ms/frame in-context).
+- the 1.44M-key instance sort: lax.sort unstable = 2.3-3.0 ms. Alternatives
+  all measured and rejected: XLA counting/radix (scatter 8.5 ms, one-hot
+  ranks 37 ms, r02), VMEM-resident Pallas bitonic network
+  (tools/exp_pallas_sort.py, r05: ~15 min Mosaic compile then scoped-vmem
+  OOM at 2^19 under the 16 MB default; raising the limit does not rescue
+  the production 2^21 size, and server-side TPU compiles are uncacheable
+  over this tunnel, so the compile time alone disqualifies it).
+- projection/validity/compaction are elementwise and already fused.
+
+With the splat kernel itself at ~20% of bf16 peak (hand-computed model in
+utils/roofline.py) and StyleUNet SR at its own measured ~10 ms structural
+floor, the exact-budget GAGA frame lands at ~26 ms on the saturating
+random-init bench scene; sub-20 ms frames come from the per-avatar budget
+buckets (trained checkpoints measure ~1.7 valid instances/gaussian ->
+18.4 ms, BENCH_r04), not from further prepass work.
 """
 
 from __future__ import annotations

@@ -152,3 +152,31 @@ def test_pack_shapes():
     # bias rows: q,k,v,out + hidden/d fc1 rows + fc2 + 4 LN rows
     f = PROD_GEO.intermediate_size // d
     assert pack_f32["biases"].shape == (2, 9 + f, d)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8],
+                         ids=["bf16", "int8"])
+@pytest.mark.parametrize("slim", [False, True], ids=["f32s", "slim"])
+def test_fused_encoder_grouped_batch(dtype, slim):
+    """The kernel supports B>1 windows per call (one shared weight stream),
+    in both scratch flavors. Every matmul/LN/attention row is window-local,
+    so each window's result must be bit-identical to running it alone —
+    slim (compute-dtype) scratch included, since every slim buffer is only
+    ever read through a matmul that casts there anyway. (Routing keeps
+    fused_batch_size()==1 for now: grouped B=2 measured a 3x regression on
+    the v5e, tools/exp_encoder_group_batch.py.)"""
+    from artalk_tpu.ops.encoder_block_stack import encoder_block_stack
+
+    enc, params, feats = _setup(SMALL, batch=2, seq=9)
+    pack = enc.pack_fused(params, dtype=dtype)
+
+    def stack(x, b1=None):
+        return encoder_block_stack(
+            x, pack["wtiles"], pack["biases"], pack.get("scales"),
+            num_heads=SMALL.num_attention_heads, eps=SMALL.layer_norm_eps,
+            interpret=True, slim_scratch=slim)
+
+    y_grp = np.asarray(stack(feats))
+    for i in range(feats.shape[0]):
+        np.testing.assert_array_equal(y_grp[i],
+                                      np.asarray(stack(feats[i:i + 1])[0]))

@@ -21,6 +21,21 @@ rate, and at 2^20 x i32 the working set (4 MB x ~3 live copies) presses the
 
 Usage (real TPU): python tools/exp_pallas_sort.py [--log2 19 20] [--iters 20]
 Correctness (any host): python tools/exp_pallas_sort.py --check
+
+RESULT (v5e, 2026-08-19, r05) -- REJECTED:
+  - m=19 (524k keys, default 16 MB scoped-vmem limit): ~15 min Mosaic
+    compile, then VMEM OOM -- "Scoped allocation with size 17.68M and limit
+    16.00M exceeded": the unrolled 190-substage network keeps ~9 live copies
+    of the 2 MB array.
+  - m=19 with vmem_limit raised to 100 MB (--vmem_mb 100): see the run log
+    recorded below this line after the retry.
+  - Even a winning runtime cannot save it: TPU executables are compiled
+    server-side and cannot be captured by the persistent compile cache
+    (CLAUDE.md), so EVERY process restart would pay the ~15 min compile; the
+    production scenes also need m=21 (1.44M keys at slot cap 8), where the
+    live-copy footprint (~8 MB x 9) far exceeds any VMEM limit.
+  The sort avenue (radix/counting in r02, bitonic here) is now closed with
+  numbers; lax.sort (2.3-3.0 ms unstable) stays.
 """
 
 import argparse
@@ -70,16 +85,25 @@ def _bitonic_kernel(x_ref, o_ref, *, m: int):
     o_ref[...] = x
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def bitonic_sort(keys: jnp.ndarray, m: int, interpret: bool = False):
-    """Sort 2^m int32 keys ascending (keys must already be padded to 2^m)."""
+@functools.partial(jax.jit, static_argnames=("m", "interpret", "vmem_mb"))
+def bitonic_sort(keys: jnp.ndarray, m: int, interpret: bool = False,
+                 vmem_mb: int = 0):
+    """Sort 2^m int32 keys ascending (keys must already be padded to 2^m).
+
+    vmem_mb > 0 raises Mosaic's scoped-vmem limit: at the default 16 MB the
+    m=19 kernel OOMs (the unrolled network holds ~9 live array copies)."""
     n = 1 << m
     assert keys.shape == (n,) and n % LANES == 0
     x = keys.reshape(n // LANES, LANES)
+    kwargs = {}
+    if vmem_mb:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20)
     out = pl.pallas_call(
         functools.partial(_bitonic_kernel, m=m),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        **kwargs,
     )(x)
     return out.reshape(-1)
 
@@ -98,6 +122,7 @@ def main():
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--log2", type=int, nargs="*", default=[19, 20])
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--vmem_mb", type=int, default=0)
     args = ap.parse_args()
     if args.check:
         check()
@@ -110,7 +135,8 @@ def main():
         n = 1 << m
         keys = jnp.asarray(
             rng.integers(0, 2**30, size=(n,), dtype=np.int32))
-        f_pallas = jax.jit(lambda ks, m=m: jnp.sum(bitonic_sort(ks, m=m)))
+        f_pallas = jax.jit(lambda ks, m=m: jnp.sum(
+            bitonic_sort(ks, m=m, vmem_mb=args.vmem_mb)))
         f_xla = jax.jit(lambda ks: jnp.sum(jax.lax.sort(ks, is_stable=False)))
         a = float(jax.device_get(f_pallas(keys)))
         b = float(jax.device_get(f_xla(keys)))

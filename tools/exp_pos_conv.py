@@ -14,7 +14,18 @@ the 64-channel groups starve the 128-lane MXU. Probes (bf16, B in {1, 8}):
 All variants parity-checked against grouped at f32.
 
 Run on the real TPU:  python tools/exp_pos_conv.py
-(results recorded below once measured)
+
+RESULT (v5e, 2026-08-19, r05):
+    B=1 f32:  grouped 3.31   im2col 1.96 ms   (im2col 1.7x, near the
+    B=1 bf16: grouped 3.40   im2col 2.57 ms    ~1.2 ms dispatch floor)
+    B=8 f32:  grouped 2.83   im2col 6.32 ms   (im2col LOSES 2.2x: the
+    B=8 bf16: grouped 4.99   im2col 6.23 ms    16 x 3.3 MB/window im2col
+                                               buffers = ~420 MB traffic)
+Verdict: REJECTED for the batched-windows encode (the grouped lax.conv
+stays); the B=1 win is a standalone-microbench number at the dispatch
+floor (CLAUDE.md) -- an in-context batch-1 window_step A/B would be needed
+before routing the streaming path through im2col, and the streaming path's
+budget (6.0 ms fused p50) makes a ~1 ms conv nobody's bottleneck.
 """
 
 import sys

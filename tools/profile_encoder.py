@@ -29,6 +29,14 @@ def main():
                     help="per-layer cumulative timing of the conv frontend "
                          "(prefix k minus prefix k-1), plus a no-norm "
                          "variant and a transpose-free channel-LN variant")
+    ap.add_argument("--only_fused", action="store_true",
+                    help="skip the standard sections (saves ~8 min of "
+                         "remote compiles when only the fused numbers matter)")
+    ap.add_argument("--fused", action="store_true",
+                    help="also time the full encode with the weight-"
+                         "streaming fused stack engaged (bf16/int8 packs, "
+                         "ops/encoder_block_stack.py via lax.map) — the "
+                         "path generate() actually uses in fused modes")
     args = ap.parse_args()
     it = args.iters
 
@@ -53,19 +61,30 @@ def main():
         else:
             p, aud = params, audio
         print(f"--- {mode} (batched {b} windows) ---")
-        timed("full __call__",
-              jax.jit(lambda p, a: jnp.sum(enc(p, a))), p, aud, iters=it)
-        timed("conv feature extractor",
-              jax.jit(lambda p, a: jnp.sum(enc.extract_features(
-                  p, normalize_audio(a)))), p, aud, iters=it)
-        feats = jax.jit(enc.extract_features)(p, normalize_audio(aud))
-        timed("pos conv embed",
-              jax.jit(lambda p, x: jnp.sum(enc._pos_conv_embed(p, x))),
-              p, jnp.zeros((b, feats.shape[1], cfg.wav2vec.hidden_size),
-                           feats.dtype), iters=it)
-        timed("encode (proj + 24-layer stack)",
-              jax.jit(lambda p, f: jnp.sum(enc.encode(p, f))), p, feats,
-              iters=it)
+        if not args.only_fused:
+            timed("full __call__",
+                  jax.jit(lambda p, a: jnp.sum(enc(p, a))), p, aud, iters=it)
+            timed("conv feature extractor",
+                  jax.jit(lambda p, a: jnp.sum(enc.extract_features(
+                      p, normalize_audio(a)))), p, aud, iters=it)
+            feats = jax.jit(enc.extract_features)(p, normalize_audio(aud))
+            timed("pos conv embed",
+                  jax.jit(lambda p, x: jnp.sum(enc._pos_conv_embed(p, x))),
+                  p, jnp.zeros((b, feats.shape[1], cfg.wav2vec.hidden_size),
+                               feats.dtype), iters=it)
+            timed("encode (proj + 24-layer stack)",
+                  jax.jit(lambda p, f: jnp.sum(enc.encode(p, f))), p, feats,
+                  iters=it)
+
+        if args.fused and mode == "bf16":
+            for pack_dtype, name in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+                pack = enc.pack_fused(params, dtype=pack_dtype)
+                # pack passed as a jit ARGUMENT: closing over it inlines the
+                # ~300 MB of tiles into the lowered module and the remote
+                # compile service rejects the payload (CLAUDE.md)
+                timed(f"full __call__ fused {name} pack",
+                      jax.jit(lambda p, a, pk: jnp.sum(
+                          enc(p, a, fused_pack=pk))), p, aud, pack, iters=it)
 
         if args.convdetail:
             from artalk_tpu.models.wav2vec import _conv1d
