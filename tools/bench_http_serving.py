@@ -37,40 +37,54 @@ def client_loop(port: int, windows: int, window_samples: int, seed: int,
 
     import numpy as np
 
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-    conn.request("POST", "/v1/sessions", body=json.dumps({}),
-                 headers={"Content-Type": "application/json"})
-    resp = conn.getresponse()
-    body = resp.read()
-    assert resp.status == 200, (resp.status, body)
-    sid = json.loads(body)["sid"]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=1800)
+    try:
+        conn.request("POST", "/v1/sessions", body=json.dumps({}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, (resp.status, body)
+        sid = json.loads(body)["sid"]
 
-    rng = np.random.default_rng(seed)
-    pcm = (rng.standard_normal(window_samples).astype(np.float32) * 0.1)
-    payload = pcm.tobytes()
+        rng = np.random.default_rng(seed)
+        pcm = (rng.standard_normal(window_samples).astype(np.float32) * 0.1)
+        payload = pcm.tobytes()
 
-    # one warmup chunk per client (first tick pays the batched-step compile
-    # at this capacity), then the timed run, all clients in lockstep start
-    conn.request("POST", f"/v1/sessions/{sid}/audio", body=payload,
-                 headers={"Content-Type": "application/octet-stream"})
-    r = conn.getresponse()
-    r.read()
-    assert r.status == 200, r.status
-    barrier.wait()
+        # warmup chunk(s): the FIRST tick at a new capacity pays the
+        # batched-step compile, which can exceed the server's 600 s tick
+        # timeout (observed: B=16 int8 batch-tiled compile > 10 min) -- a
+        # 504 here means "compile still running server-side", so retry:
+        # the retry's submit lands on the tick after the compile finishes
+        for attempt in range(4):
+            conn.request("POST", f"/v1/sessions/{sid}/audio", body=payload,
+                         headers={"Content-Type": "application/octet-stream"})
+            r = conn.getresponse()
+            r.read()
+            if r.status == 200:
+                break
+            assert r.status == 504, r.status
+        else:
+            raise TimeoutError("warmup never completed (4 x 600 s)")
+        barrier.wait()
 
-    lat = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        conn.request("POST", f"/v1/sessions/{sid}/audio", body=payload,
-                     headers={"Content-Type": "application/octet-stream"})
-        r = conn.getresponse()
-        data = r.read()
-        assert r.status == 200, (r.status, data[:200])
-        lat.append((time.perf_counter() - t0) * 1e3)
-    conn.request("DELETE", f"/v1/sessions/{sid}")
-    conn.getresponse().read()
-    conn.close()
-    results.append(lat)
+        lat = []
+        t_begin = time.perf_counter()
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            conn.request("POST", f"/v1/sessions/{sid}/audio", body=payload,
+                         headers={"Content-Type": "application/octet-stream"})
+            r = conn.getresponse()
+            data = r.read()
+            assert r.status == 200, (r.status, data[:200])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        t_end = time.perf_counter()
+        conn.request("DELETE", f"/v1/sessions/{sid}")
+        conn.getresponse().read()
+        conn.close()
+        results.append((lat, t_begin, t_end))
+    except BaseException:
+        barrier.abort()  # release lockstep peers instead of hanging the run
+        raise
 
 
 def main():
@@ -102,13 +116,14 @@ def main():
             target=client_loop,
             args=(port, args.windows, ws, 100 + i, results, barrier))
             for i in range(n)]
-        t0 = time.perf_counter()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        wall = time.perf_counter() - t0
-        lats = np.concatenate(results)
+        lats = np.concatenate([r[0] for r in results])
+        # saturated wall: barrier release (min timed-phase start) to last
+        # client's last response — warmup/compile excluded
+        wall = max(r[2] for r in results) - min(r[1] for r in results)
         total = n * args.windows
         p50, p90 = np.percentile(lats, [50, 90])
         sw_s = total / wall  # session-windows per second (saturated)
